@@ -1,0 +1,209 @@
+"""Lower a converted TFLite graph to a pure, batch-polymorphic JAX function.
+
+The reference executes these graphs with the TFLite C++ interpreter,
+rebuilding it on every call (reference: face_detection.rs:207-210).  Here the
+graph is traced ONCE into XLA: convolutions hit the MXU as
+``lax.conv_general_dilated`` in NHWC, elementwise ops fuse into them, and the
+whole network compiles to a single TPU executable.  The lowered function is
+natively batched — every op in the supported set is batch-preserving, so the
+same traced graph serves any leading batch size.
+
+Supported op set (complete for the 7 bundled face models, SURVEY.md §2.3):
+CONV_2D, DEPTHWISE_CONV_2D, ADD, RELU, PRELU, MAX_POOL_2D, PAD, RESHAPE,
+CONCATENATION, RESIZE_BILINEAR, DEPTH_TO_SPACE, LOGISTIC.
+DEQUANTIZE/DENSIFY never reach the runtime (folded at conversion).
+"""
+
+import json
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class Graph:
+    """A converted TFLite graph: op list + constant pool."""
+
+    def __init__(self, npz_path):
+        payload = np.load(npz_path, allow_pickle=False)
+        meta = json.loads(str(payload["__graph__"]))
+        self.inputs = meta["inputs"]
+        self.outputs = meta["outputs"]
+        self.tensors = meta["tensors"]
+        self.ops = meta["ops"]
+        self.consts = {int(k[1:]): payload[k] for k in payload.files
+                       if k.startswith("t")}
+
+    @property
+    def input_shape(self):
+        return tuple(self.tensors[self.inputs[0]]["shape"])
+
+    @property
+    def output_shapes(self):
+        return [tuple(self.tensors[i]["shape"]) for i in self.outputs]
+
+
+def _act(x, kind):
+    if kind == "NONE":
+        return x
+    if kind == "RELU":
+        return jnp.maximum(x, 0.0)
+    if kind == "RELU6":
+        return jnp.clip(x, 0.0, 6.0)
+    if kind == "RELU_N1_TO_1":
+        return jnp.clip(x, -1.0, 1.0)
+    if kind == "TANH":
+        return jnp.tanh(x)
+    raise NotImplementedError(f"activation {kind}")
+
+
+def _resize_bilinear(x, out_hw, align_corners, half_pixel_centers):
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if half_pixel_centers:
+        ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
+        xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
+    elif align_corners and oh > 1 and ow > 1:
+        ys = jnp.arange(oh, dtype=jnp.float32) * ((h - 1) / (oh - 1))
+        xs = jnp.arange(ow, dtype=jnp.float32) * ((w - 1) / (ow - 1))
+    else:
+        ys = jnp.arange(oh, dtype=jnp.float32) * (h / oh)
+        xs = jnp.arange(ow, dtype=jnp.float32) * (w / ow)
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)[None, :, None, None]
+    wx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _depth_to_space(x, block):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, block, block, c // (block * block))
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * block, w * block, c // (block * block))
+
+
+def build_jax_fn(graph, param_dtype=jnp.float32, compute_dtype=jnp.float32):
+    """Return ``fn(x: [B,H,W,C]) -> tuple(outputs)`` tracing the graph.
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv stack in bf16 (MXU-native)
+    while keeping outputs in f32.
+    """
+    consts = {k: jnp.asarray(v.astype(np.float32) if v.dtype == np.float16
+                             else v)
+              for k, v in graph.consts.items()}
+
+    def cast_param(v):
+        return v.astype(param_dtype) if v.dtype == jnp.float32 else v
+
+    # f32 parity path: force true-f32 convolutions (JAX's DEFAULT precision
+    # feeds the MXU bf16 inputs, ~1e-3 rel error vs the TFLite reference
+    # kernels).  The bf16 fast path opts in via compute_dtype=bfloat16.
+    precision = (lax.Precision.HIGHEST if compute_dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+
+    def fn(x):
+        batch = x.shape[0]
+        env = dict(consts)
+        env[graph.inputs[0]] = x.astype(compute_dtype)
+
+        def get(i):
+            v = env[i]
+            if v.dtype == jnp.float32 and compute_dtype != jnp.float32:
+                return v.astype(compute_dtype)
+            return v
+
+        for node in graph.ops:
+            op, ins, outs, o = (node["op"], node["inputs"],
+                                node["outputs"], node["options"])
+            if op == "CONV_2D":
+                xin = get(ins[0])
+                w = cast_param(get(ins[1]))  # OHWI
+                y = lax.conv_general_dilated(
+                    xin, jnp.transpose(w, (1, 2, 3, 0)),  # -> HWIO
+                    window_strides=tuple(o["stride"]),
+                    padding=o["padding"],
+                    rhs_dilation=tuple(o["dilation"]),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=compute_dtype,
+                    precision=precision,
+                )
+                if len(ins) > 2 and ins[2] >= 0:
+                    y = y + cast_param(get(ins[2]))
+                env[outs[0]] = _act(y, o["activation"])
+            elif op == "DEPTHWISE_CONV_2D":
+                xin = get(ins[0])
+                w = cast_param(get(ins[1]))  # [1, kh, kw, C*M]
+                cin = xin.shape[-1]
+                kh, kw = w.shape[1], w.shape[2]
+                y = lax.conv_general_dilated(
+                    xin, w.reshape(kh, kw, 1, w.shape[3]),
+                    window_strides=tuple(o["stride"]),
+                    padding=o["padding"],
+                    rhs_dilation=tuple(o["dilation"]),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=cin,
+                    preferred_element_type=compute_dtype,
+                    precision=precision,
+                )
+                if len(ins) > 2 and ins[2] >= 0:
+                    y = y + cast_param(get(ins[2]))
+                env[outs[0]] = _act(y, o["activation"])
+            elif op == "MAX_POOL_2D":
+                xin = get(ins[0])
+                y = lax.reduce_window(
+                    xin, -jnp.inf, lax.max,
+                    (1, o["filter"][0], o["filter"][1], 1),
+                    (1, o["stride"][0], o["stride"][1], 1),
+                    o["padding"])
+                env[outs[0]] = _act(y, o["activation"])
+            elif op == "ADD":
+                env[outs[0]] = _act(get(ins[0]) + get(ins[1]),
+                                    o["activation"])
+            elif op == "RELU":
+                env[outs[0]] = jnp.maximum(get(ins[0]), 0.0)
+            elif op == "PRELU":
+                xin, alpha = get(ins[0]), cast_param(get(ins[1]))
+                env[outs[0]] = jnp.where(xin >= 0, xin, xin * alpha)
+            elif op == "PAD":
+                pads = np.asarray(graph.consts[ins[1]])
+                env[outs[0]] = jnp.pad(get(ins[0]),
+                                       [tuple(p) for p in pads])
+            elif op == "RESHAPE":
+                tgt = list(o.get("new_shape")
+                           or np.asarray(graph.consts[ins[1]]).tolist())
+                if tgt and tgt[0] == 1:
+                    tgt[0] = batch
+                env[outs[0]] = get(ins[0]).reshape(tgt)
+            elif op == "CONCATENATION":
+                env[outs[0]] = _act(
+                    jnp.concatenate([get(i) for i in ins], axis=o["axis"]),
+                    o["activation"])
+            elif op == "RESIZE_BILINEAR":
+                size = np.asarray(graph.consts[ins[1]]).tolist()
+                env[outs[0]] = _resize_bilinear(
+                    get(ins[0]), size, o["align_corners"],
+                    o["half_pixel_centers"])
+            elif op == "DEPTH_TO_SPACE":
+                env[outs[0]] = _depth_to_space(get(ins[0]), o["block_size"])
+            elif op == "LOGISTIC":
+                env[outs[0]] = jax.nn.sigmoid(get(ins[0]))
+            else:
+                raise NotImplementedError(f"op {op}")
+
+        return tuple(env[i].astype(jnp.float32) for i in graph.outputs)
+
+    return fn
+
+
+def load_model_fn(npz_path, compute_dtype=jnp.float32):
+    """Load a converted model and return (graph, jitted batched fn)."""
+    graph = Graph(npz_path)
+    fn = build_jax_fn(graph, compute_dtype=compute_dtype)
+    return graph, jax.jit(fn)
