@@ -1,0 +1,134 @@
+"""BlazeFace face detection (5 model variants) as a fused XLA pipeline.
+
+API parity with the reference ``FaceDetection``
+(reference: face_detection.rs:146-267) but TPU-native: preprocessing
+(rotated-ROI warp + letterbox + normalize), the CNN, box decoding, clamped
+sigmoid scoring, weighted NMS and letterbox removal are ONE jitted XLA
+program per input-image geometry — no interpreter, no host round-trips
+mid-pipeline.  The jitted program is cached per (H, W) and natively
+batched via vmap in the cascade layer.
+"""
+
+import enum
+from functools import lru_cache
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler import Graph, build_jax_fn
+from ..ops import anchors as anchors_lib
+from ..ops import image as image_ops
+from ..ops import postprocess as post
+from ..types import Detection, Rect
+from ..utils.image_io import load_image
+
+_DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+
+
+class FaceDetectionModel(enum.Enum):
+    """Model variants (reference face_detection.rs:116-123)."""
+
+    FRONT_CAMERA = 0
+    BACK_CAMERA = 1
+    SHORT = 2
+    FULL = 3
+    FULL_SPARSE = 4
+
+
+class FaceIndex(enum.IntEnum):
+    """Keypoint indexes (reference face_detection.rs:89-98)."""
+
+    LEFT_EYE = 0
+    RIGHT_EYE = 1
+    NOSE_TIP = 2
+    MOUTH = 3
+    LEFT_EYE_TRAGION = 4
+    RIGHT_EYE_TRAGION = 5
+
+
+_MODEL_FILES = {
+    FaceDetectionModel.FRONT_CAMERA: "face_detection_front",
+    FaceDetectionModel.BACK_CAMERA: "face_detection_back",
+    FaceDetectionModel.SHORT: "face_detection_short_range",
+    FaceDetectionModel.FULL: "face_detection_full_range",
+    FaceDetectionModel.FULL_SPARSE: "face_detection_full_range_sparse",
+}
+
+_SSD_OPTS = {
+    FaceDetectionModel.FRONT_CAMERA: anchors_lib.SSDOptions.front(),
+    FaceDetectionModel.BACK_CAMERA: anchors_lib.SSDOptions.back(),
+    FaceDetectionModel.SHORT: anchors_lib.SSDOptions.short(),
+    FaceDetectionModel.FULL: anchors_lib.SSDOptions.full(),
+    FaceDetectionModel.FULL_SPARSE: anchors_lib.SSDOptions.full(),
+}
+
+
+class FaceDetection:
+    """BlazeFace detector. ``infer`` accepts an RGB image (array, PIL,
+    path or bytes) and an optional ROI ``Rect``; returns normalized
+    ``Detection`` objects, strongest first."""
+
+    def __init__(self,
+                 model_type: FaceDetectionModel = FaceDetectionModel.SHORT,
+                 model_path: Optional[str] = None,
+                 max_faces: int = 16,
+                 compute_dtype=jnp.float32):
+        base = Path(model_path) if model_path else _DATA_DIR
+        npz = base / f"{_MODEL_FILES[model_type]}.npz"
+        if not npz.exists():
+            raise FileNotFoundError(
+                f"converted model not found: {npz} — run "
+                f"tools/convert_tflite.py on the .tflite first")
+        self.model_type = model_type
+        self.graph = Graph(npz)
+        self._net = build_jax_fn(self.graph, compute_dtype=compute_dtype)
+        self.anchors = jnp.asarray(
+            anchors_lib.ssd_generate_anchors(_SSD_OPTS[model_type]))
+        _, self.in_h, self.in_w, _ = self.graph.input_shape
+        self.max_faces = max_faces
+        self._jitted = {}
+
+    # ---- the fused device program -------------------------------------
+
+    def _pipeline(self, image_f32, roi_abs):
+        """[H,W,3] f32 + (5,) abs ROI -> (data [T,P,2], score [T],
+        valid [T]).  Entirely on device."""
+        tensor, padding = image_ops.warp_image_to_tensor(
+            image_f32, roi_abs, (self.in_w, self.in_h),
+            keep_aspect_ratio=True, output_range=(-1.0, 1.0))
+        raw_boxes, raw_scores = self._net(tensor[None])
+        boxes = post.decode_boxes(raw_boxes[0], self.anchors,
+                                  float(self.in_h))
+        scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
+        valid = post.detection_validity(boxes, scores)
+        out_d, out_s, out_v = post.weighted_nms(
+            boxes, scores, valid, max_outputs=self.max_faces)
+        out_d = post.letterbox_removal(out_d, padding)
+        return out_d, out_s, out_v
+
+    def _get_jitted(self, h, w):
+        key = (h, w)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._pipeline)
+        return self._jitted[key]
+
+    # ---- host API ------------------------------------------------------
+
+    def infer(self, image, roi: Optional[Rect] = None) -> List[Detection]:
+        img = load_image(image)
+        h, w = img.shape[:2]
+        if roi is None:
+            roi_abs = np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32)
+        else:
+            r = roi.scaled((float(w), float(h)), normalize=False)
+            roi_abs = np.array([r.x_center, r.y_center, r.width, r.height,
+                                r.rotation], np.float32)
+        out_d, out_s, out_v = self._get_jitted(h, w)(
+            jnp.asarray(img), jnp.asarray(roi_abs))
+        out_d, out_s, out_v = (np.asarray(out_d), np.asarray(out_s),
+                               np.asarray(out_v))
+        return [Detection(out_d[i], out_s[i])
+                for i in range(out_v.shape[0]) if out_v[i]]

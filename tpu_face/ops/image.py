@@ -1,0 +1,157 @@
+"""Fused on-device image preprocessing.
+
+TPU-native replacement for the reference's ``image_to_tensor``
+(reference: transform.rs:188-309), which chains OpenCV
+``warp_perspective`` -> ``copy_make_border`` -> ``resize`` -> ``resize`` ->
+per-pixel normalize on the host.  All four resampling stages compose into a
+single affine map (a rotated rect warped to a rect is affine, and bilinear
+resizes are affine coordinate maps), so the whole chain collapses to ONE
+bilinear gather from the source image, with the range normalization fused
+into the same elementwise epilogue.  Letterbox padding is computed as pure
+math and never materialized (the pad region maps outside the source image
+and reads zeros through the zero-border gather).
+
+The letterbox padding math keeps the reference's exact semantics, including
+the integer-division aspect quirk (transform.rs:240) and the int-truncated
+pad sizes (transform.rs:253), because the padding fractions feed coordinate
+un-mapping downstream.
+
+All functions are shape-static and jit/vmap-friendly: ROI parameters and
+the flip flag are traced values; image size, output size and mode flags are
+static.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(image: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Bilinear sample with constant-zero border.
+
+    image: [H, W, C] float; xs/ys: [Ho, Wo] source pixel coordinates.
+    Returns [Ho, Wo, C].
+    """
+    h, w = image.shape[0], image.shape[1]
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    dx = (xs - x0f)[..., None]
+    dy = (ys - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    flat = image.reshape(h * w, -1)
+
+    def tap(yi, xi):
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take(flat, lin.reshape(-1), axis=0)
+        vals = vals.reshape(xs.shape + (flat.shape[-1],))
+        return vals * valid[..., None]
+
+    top = tap(y0, x0) * (1 - dx) + tap(y0, x0 + 1) * dx
+    bot = tap(y0 + 1, x0) * (1 - dx) + tap(y0 + 1, x0 + 1) * dx
+    return top * (1 - dy) + bot * dy
+
+
+def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
+    """Letterbox padding fractions + effective pixel pads.
+
+    Reference semantics transform.rs:236-257: returns
+    (pad_x, pad_y, ph, pv) where pad_x/pad_y are the normalized padding
+    fractions reported to the caller and ph/pv the integer pixel pads
+    actually applied before the final resize.
+    """
+    # Integer-division quirk kept from transform.rs:240 (square outputs
+    # only are exercised; aspect == 1).
+    out_aspect = float(out_size[1] // out_size[0])
+    roi_aspect = roi_h / roi_w
+    w_i = jnp.trunc(roi_w)
+    h_i = jnp.trunc(roi_h)
+
+    cond = out_aspect > roi_aspect
+    pad_y = jnp.where(cond, (1.0 - roi_aspect / out_aspect) / 2.0, 0.0)
+    pad_x = jnp.where(cond, 0.0, (1.0 - out_aspect / roi_aspect) / 2.0)
+    new_h = jnp.where(cond, jnp.trunc(roi_w * out_aspect), h_i)
+    new_w = jnp.where(cond, w_i, jnp.trunc(roi_h / out_aspect))
+
+    changed = (new_w != w_i) | (new_h != h_i)
+    ph = jnp.where(changed, jnp.trunc(pad_x * new_w), 0.0)
+    pv = jnp.where(changed, jnp.trunc(pad_y * new_h), 0.0)
+    return pad_x, pad_y, ph, pv
+
+
+def warp_image_to_tensor(image: jnp.ndarray,
+                         roi_abs: jnp.ndarray,
+                         out_size: Tuple[int, int],
+                         keep_aspect_ratio: bool,
+                         output_range: Tuple[float, float] = (0.0, 1.0),
+                         flip_horizontal=False):
+    """The fused ``image_to_tensor``: one gather + one fma.
+
+    Args:
+      image: [H, W, 3] uint8 or float source image (RGB).
+      roi_abs: (5,) array of (cx, cy, w, h, rotation) in ABSOLUTE pixel
+        coordinates (traced; callers scale normalized ROIs by image size).
+      out_size: static (width, height) of the output tensor.
+      keep_aspect_ratio: static; True applies reference letterboxing.
+      output_range: static (min, max) pixel normalization range.
+      flip_horizontal: traced or static bool (mirrors the output).
+
+    Returns:
+      (tensor [Ho, Wo, 3] f32, padding (4,) f32 = (l, t, r, b)).
+    """
+    wo, ho = out_size
+    img = image.astype(jnp.float32)
+
+    cx, cy, rw, rh, rot = (roi_abs[0], roi_abs[1], roi_abs[2], roi_abs[3],
+                           roi_abs[4])
+
+    # Output pixel grid (optionally mirrored).
+    u = jnp.arange(wo, dtype=jnp.float32)[None, :].repeat(ho, axis=0)
+    v = jnp.arange(ho, dtype=jnp.float32)[:, None].repeat(wo, axis=1)
+    flip = jnp.asarray(flip_horizontal)
+    u = jnp.where(flip, (wo - 1) - u, u)
+
+    if keep_aspect_ratio:
+        # Compose resize2^-1 . resize1^-1 . unpad: the intermediate
+        # (new_w, new_h) target cancels out of the half-pixel algebra.
+        pad_x, pad_y, ph, pv = letterbox_padding(rw, rh, out_size)
+        w_i = jnp.trunc(rw)
+        h_i = jnp.trunc(rh)
+        x0 = (u + 0.5) * (w_i + 2.0 * ph) / wo - 0.5 - ph
+        y0 = (v + 0.5) * (h_i + 2.0 * pv) / ho - 0.5 - pv
+        qx = x0 / w_i
+        qy = y0 / h_i
+        padding = jnp.stack([pad_x, pad_y, pad_x, pad_y])
+    else:
+        # Direct warp: OpenCV warp_perspective samples dst integer coords.
+        qx = u / wo
+        qy = v / ho
+        padding = jnp.zeros(4, dtype=jnp.float32)
+
+    # Rotated-rect corners (reference types.rs:80-96); the perspective
+    # transform of a parallelogram quad is exactly affine.
+    s, c = jnp.sin(rot), jnp.cos(rot)
+    hw, hh = rw / 2.0, rh / 2.0
+    c0x, c0y = cx + (-hw) * c - (-hh) * s, cy + (-hw) * s + (-hh) * c
+    c1x, c1y = cx + hw * c - (-hh) * s, cy + hw * s + (-hh) * c
+    c3x, c3y = cx + (-hw) * c - hh * s, cy + (-hw) * s + hh * c
+
+    src_x = c0x + qx * (c1x - c0x) + qy * (c3x - c0x)
+    src_y = c0y + qx * (c1y - c0y) + qy * (c3y - c0y)
+
+    out = bilinear_sample(img, src_x, src_y)
+    lo, hi = output_range
+    out = out * ((hi - lo) / 255.0) + lo
+    return out, padding
+
+
+def whole_image_roi(image_size: Tuple[int, int]) -> jnp.ndarray:
+    """Default ROI covering the full image, in absolute coordinates
+    (reference transform.rs:190-199)."""
+    w, h = image_size
+    return jnp.array([0.5 * w, 0.5 * h, float(w), float(h), 0.0],
+                     dtype=jnp.float32)

@@ -1,0 +1,44 @@
+"""Host-side image IO and small vector utilities.
+
+The reference decodes JPEGs with OpenCV ``imdecode`` + BGR->RGB
+(reference: utils.rs:8-21); we decode once on the host with Pillow (already
+RGB) and everything after the decode runs on device.
+"""
+
+import io
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+
+
+def load_image(src) -> np.ndarray:
+    """Decode to an RGB uint8 array [H, W, 3].
+
+    Accepts a path, raw bytes, a PIL image, or an ndarray (passed through).
+    """
+    if isinstance(src, np.ndarray):
+        if src.ndim != 3 or src.shape[-1] != 3:
+            raise ValueError(f"expected [H,W,3] image, got {src.shape}")
+        return src.astype(np.uint8) if src.dtype != np.uint8 else src
+    from PIL import Image
+    if isinstance(src, (str, Path)):
+        img = Image.open(src)
+    elif isinstance(src, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(src))
+    else:
+        img = src  # assume PIL image
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def l2_norm(arr: np.ndarray) -> np.ndarray:
+    """L2-normalize a vector/matrix by its global norm
+    (reference utils.rs:30-33)."""
+    return arr / np.sqrt(np.sum(np.square(arr)))
+
+
+def similarity_score(a, b) -> float:
+    """Cosine similarity (reference utils.rs:44-50)."""
+    a = np.asarray(a, dtype=np.float32).ravel()
+    b = np.asarray(b, dtype=np.float32).ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
