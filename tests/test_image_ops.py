@@ -1,0 +1,99 @@
+"""Fused warp/letterbox preprocessing vs OpenCV oracles.
+
+The single-gather ``warp_image_to_tensor`` must reproduce the reference's
+OpenCV chain (transform.rs:188-309) within tight tolerances: exact
+coordinates for the direct-warp path, and composed-affine equivalence for
+the letterbox path.
+"""
+
+import math
+
+import cv2
+import numpy as np
+import pytest
+
+from tpu_face.ops import image as image_ops
+
+
+def _reference_warp(img, rect_abs, out_size):
+    """OpenCV warp exactly as transform.rs:210-234 (keep_aspect=False)."""
+    cx, cy, w, h, rot = rect_abs
+    hw, hh = w / 2.0, h / 2.0
+    pts = [(-hw, -hh), (hw, -hh), (hw, hh), (-hw, hh)]
+    s, c = math.sin(rot), math.cos(rot)
+    src = np.array([(cx + x * c - y * s, cy + x * s + y * c)
+                    for x, y in pts], np.float32)
+    wo, ho = out_size
+    dst = np.array([(0, 0), (wo, 0), (wo, ho), (0, ho)], np.float32)
+    m = cv2.getPerspectiveTransform(src, dst)
+    return cv2.warpPerspective(img, m, (wo, ho), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_CONSTANT)
+
+
+@pytest.mark.parametrize("rot", [0.0, 0.3, -0.8])
+def test_direct_warp_matches_opencv(rot):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (360, 540, 3), np.uint8)
+    rect = (270.0, 180.0, 200.0, 150.0, rot)
+    out, padding = image_ops.warp_image_to_tensor(
+        img, np.array(rect, np.float32), (192, 192),
+        keep_aspect_ratio=False, output_range=(0.0, 1.0))
+    out = np.asarray(out)
+    ref = _reference_warp(img.astype(np.float32), rect, (192, 192)) / 255.0
+    assert np.asarray(padding).max() == 0.0
+    # interior agreement (OpenCV uses 5-bit fixed-point interpolation)
+    diff = np.abs(out[2:-2, 2:-2] - ref[2:-2, 2:-2])
+    assert diff.max() < 0.02, diff.max()
+
+
+def test_letterbox_padding_man_jpg_geometry():
+    """540x360 whole-image ROI -> square: padding (0, 1/6, 0, 1/6)
+    (BASELINE.md ground truth)."""
+    img = np.zeros((360, 540, 3), np.uint8)
+    roi = image_ops.whole_image_roi((540, 360))
+    _, padding = image_ops.warp_image_to_tensor(
+        img, roi, (128, 128), keep_aspect_ratio=True,
+        output_range=(-1.0, 1.0))
+    np.testing.assert_allclose(
+        np.asarray(padding), [0.0, 1.0 / 6.0, 0.0, 1.0 / 6.0], atol=1e-6)
+
+
+def test_letterbox_content_matches_opencv_chain():
+    """Full reference chain: warp -> copy_make_border -> resize -> resize."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (360, 540, 3), np.uint8).astype(np.float32)
+    out, padding = image_ops.warp_image_to_tensor(
+        img, image_ops.whole_image_roi((540, 360)), (128, 128),
+        keep_aspect_ratio=True, output_range=(0.0, 1.0))
+    out = np.asarray(out)
+    # reference: whole-image roi -> roi_image == img; pad_v = 90 px;
+    # resize(540,540)->noop; resize -> 128x128
+    padded = cv2.copyMakeBorder(img, 90, 90, 0, 0, cv2.BORDER_CONSTANT,
+                                value=0.0)
+    ref = cv2.resize(padded, (128, 128), interpolation=cv2.INTER_LINEAR)
+    ref /= 255.0
+    diff = np.abs(out - ref)
+    assert diff.max() < 0.02, diff.max()
+
+
+def test_flip_horizontal_mirrors_output():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (64, 64, 3), np.uint8)
+    roi = image_ops.whole_image_roi((64, 64))
+    a, _ = image_ops.warp_image_to_tensor(
+        img, roi, (64, 64), keep_aspect_ratio=True,
+        output_range=(0.0, 1.0), flip_horizontal=False)
+    b, _ = image_ops.warp_image_to_tensor(
+        img, roi, (64, 64), keep_aspect_ratio=True,
+        output_range=(0.0, 1.0), flip_horizontal=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b)[:, ::-1],
+                               atol=1e-6)
+
+
+def test_output_range_normalization():
+    img = np.full((32, 32, 3), 255, np.uint8)
+    roi = image_ops.whole_image_roi((32, 32))
+    out, _ = image_ops.warp_image_to_tensor(
+        img, roi, (32, 32), keep_aspect_ratio=False,
+        output_range=(-1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out)[1:-1, 1:-1], 1.0, atol=1e-6)

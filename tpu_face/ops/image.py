@@ -78,8 +78,16 @@ def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
     new_w = jnp.where(cond, w_i, jnp.trunc(roi_h / out_aspect))
 
     changed = (new_w != w_i) | (new_h != h_i)
-    ph = jnp.where(changed, jnp.trunc(pad_x * new_w), 0.0)
-    pv = jnp.where(changed, jnp.trunc(pad_y * new_h), 0.0)
+    # Pixel pads = trunc(pad_fraction * new_dim).  The reference computes
+    # this in f64 (transform.rs:253) where integer-valued ROI dims land
+    # exactly on the integer (e.g. 540x360 -> pad_v = 90.0).  In f32 the
+    # ratio-first form rounds to 89.99999 -> trunc 89, shifting the whole
+    # sampling grid; multiply-before-divide keeps integer-valued dims
+    # exact (products < 2^24 are representable).
+    pv_exact = (new_h - (new_h * roi_h) / (roi_w * out_aspect)) / 2.0
+    ph_exact = (new_w - (new_w * out_aspect * roi_w) / roi_h) / 2.0
+    ph = jnp.where(changed & ~cond, jnp.trunc(ph_exact), 0.0)
+    pv = jnp.where(changed & cond, jnp.trunc(pv_exact), 0.0)
     return pad_x, pad_y, ph, pv
 
 
@@ -88,7 +96,8 @@ def warp_image_to_tensor(image: jnp.ndarray,
                          out_size: Tuple[int, int],
                          keep_aspect_ratio: bool,
                          output_range: Tuple[float, float] = (0.0, 1.0),
-                         flip_horizontal=False):
+                         flip_horizontal=False,
+                         quantize_uint8: bool = True):
     """The fused ``image_to_tensor``: one gather + one fma.
 
     Args:
@@ -144,6 +153,12 @@ def warp_image_to_tensor(image: jnp.ndarray,
     src_y = c0y + qx * (c1y - c0y) + qy * (c3y - c0y)
 
     out = bilinear_sample(img, src_x, src_y)
+    if quantize_uint8:
+        # The reference chain materializes uint8 Mats between stages
+        # (OpenCV warp/resize on 8-bit images round-to-even each pixel,
+        # transform.rs:226-279); emulate the final quantization so the
+        # normalized tensor is bit-comparable.
+        out = jnp.rint(out)
     lo, hi = output_range
     out = out * ((hi - lo) / 255.0) + lo
     return out, padding

@@ -87,6 +87,9 @@ def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sort_and_truncate(data, scores, valid, top_m):
+    data = jnp.asarray(data)
+    scores = jnp.asarray(scores)
+    valid = jnp.asarray(valid)
     neg = jnp.float32(-1e30)
     masked = jnp.where(valid, scores, neg)
     order = jnp.argsort(-masked)[:top_m]
