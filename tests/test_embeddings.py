@@ -1,0 +1,78 @@
+"""FaceEmbeddings: the model file isn't bundled (reference
+README.md:9-10), so the pipeline is exercised with a synthetic converted
+graph in the same .npz format the converter emits."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpu_face.models import FaceEmbeddings, FeatureCount
+from tpu_face.types import BBox
+
+MAN = "/root/reference/test_data/man.jpg"
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    """A tiny valid embedding graph: 112x112x3 -> conv(VALID, full
+    kernel) -> [1, 8] -> reshape [1, 8]."""
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("emb")
+    tensors = [
+        {"shape": [1, 112, 112, 3], "dtype": "float32"},   # t0 input
+        {"shape": [8, 112, 112, 3], "dtype": "float32"},   # t1 weight OHWI
+        {"shape": [8], "dtype": "float32"},                # t2 bias
+        {"shape": [1, 1, 1, 8], "dtype": "float32"},       # t3 conv out
+        {"shape": [1, 8], "dtype": "float32"},             # t4 output
+    ]
+    ops = [
+        {"op": "CONV_2D", "inputs": [0, 1, 2], "outputs": [3],
+         "options": {"stride": [1, 1], "dilation": [1, 1],
+                     "padding": "VALID", "activation": "NONE"}},
+        {"op": "RESHAPE", "inputs": [3], "outputs": [4],
+         "options": {"new_shape": [1, 8]}},
+    ]
+    graph = {"inputs": [0], "outputs": [4], "tensors": tensors,
+             "ops": ops}
+    payload = {
+        "__graph__": np.array(json.dumps(graph)),
+        "t1": rng.normal(size=(8, 112, 112, 3)).astype(np.float32) * 0.01,
+        "t2": rng.normal(size=(8,)).astype(np.float32),
+    }
+    np.savez_compressed(d / "face_embeddings.npz", **payload)
+    return str(d)
+
+
+def test_embeddings_l2_normalized(model_dir):
+    emb = FaceEmbeddings(model_path=model_dir)
+    out = emb.infer(MAN, BBox(195.6, 74.1, 334.9, 213.4))
+    assert out.shape == (8,)
+    assert abs(np.linalg.norm(out) - 1.0) < 1e-5
+
+
+def test_embeddings_similarity_roundtrip(model_dir):
+    from tpu_face.utils.image_io import similarity_score
+    emb = FaceEmbeddings(model_path=model_dir)
+    a = emb.infer(MAN, BBox(195.6, 74.1, 334.9, 213.4))
+    b = emb.infer(MAN, BBox(195.6, 74.1, 334.9, 213.4))
+    assert similarity_score(a, b) == pytest.approx(1.0, abs=1e-5)
+    # a different crop gives a different embedding
+    c = emb.infer(MAN, BBox(0.0, 0.0, 112.0, 112.0))
+    assert similarity_score(a, c) < 0.999
+
+
+def test_embeddings_missing_model_message(tmp_path):
+    with pytest.raises(FileNotFoundError, match="not bundled"):
+        FaceEmbeddings(model_path=str(tmp_path))
+
+
+def test_embeddings_empty_bbox(model_dir):
+    emb = FaceEmbeddings(model_path=model_dir)
+    with pytest.raises(ValueError, match="empty crop"):
+        emb.infer(MAN, BBox(10.0, 10.0, 10.0, 50.0))
+
+
+def test_feature_count_enum():
+    assert FeatureCount.FEATURE_128 == 128
+    assert FeatureCount.FEATURE_512 == 512

@@ -7,8 +7,10 @@ jitted XLA programs (weights extracted offline from the reference's
 .tflite flatbuffers) and all pre/post-processing fused on device.
 """
 
+from . import models, render
 from .types import BBox, Detection, ImageTensor, Landmark, Rect
 
 __version__ = "0.1.0"
 
-__all__ = ["BBox", "Detection", "ImageTensor", "Landmark", "Rect"]
+__all__ = ["BBox", "Detection", "ImageTensor", "Landmark", "Rect",
+           "models", "render"]

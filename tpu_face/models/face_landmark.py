@@ -88,6 +88,18 @@ def face_detection_to_roi(face_detection: Detection,
                 normalized=True)
 
 
+def face_landmarks_to_render_data(face_landmarks, landmark_color,
+                                  connection_color, thickness: float = 2.0,
+                                  output=None):
+    """Face mesh -> render annotations (reference
+    face_landmark.rs:324-338): 124 connection lines + 468 points."""
+    from ..render import landmarks_to_render_data
+    return landmarks_to_render_data(
+        face_landmarks, FACE_LANDMARK_CONNECTIONS,
+        landmark_color=landmark_color, connection_color=connection_color,
+        thickness=thickness, normalized_positions=True, output=output)
+
+
 class FaceLandmark:
     """468-point face mesh. ``infer(image, roi)`` returns normalized
     ``Landmark`` objects (empty list when the presence score is below
