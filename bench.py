@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Full-cascade throughput benchmark.
+
+Measures the fused detect -> ROI -> mesh -> 2x iris cascade
+(tpu_face/pipeline.py) in frames/sec on one chip, steady state, and
+prints ONE JSON line:
+
+    {"metric": "cascade_fps_per_chip", "value": N, "unit": "frames/s",
+     "vs_baseline": N / 53.8}
+
+Baseline: the reference's full-cascade compute on its own models is
+~53.8 fps (BASELINE.md: 18.6 ms = back-detect 14.3 + mesh 1.5 + 2x iris
+2.8, TFLite x86 1-thread; the reference publishes no numbers of its own).
+
+Accuracy is asserted before timing: the benched configuration must
+reproduce the BASELINE.md ground truth on man.jpg (bbox IoU >= 0.99,
+landmarks <= 1 px) or the bench falls back from bf16 to f32.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _accuracy_ok(result, img_size=(540, 360)):
+    """Ground-truth check on man.jpg (BASELINE.md)."""
+    w, h = img_size
+    det = np.asarray(result.detection[0]) * np.array([[w, h]])
+    bbox = (det[0, 0], det[0, 1], det[1, 0], det[1, 1])
+    gt = (195.6, 74.1, 334.9, 213.4)
+    ixmin, iymin = max(bbox[0], gt[0]), max(bbox[1], gt[1])
+    ixmax, iymax = min(bbox[2], gt[2]), min(bbox[3], gt[3])
+    inter = max(ixmax - ixmin, 0) * max(iymax - iymin, 0)
+    area = lambda r: (r[2] - r[0]) * (r[3] - r[1])
+    iou = inter / (area(bbox) + area(gt) - inter)
+    mesh = np.asarray(result.mesh_raw[0])
+    nose = (mesh[1, 0] * w, mesh[1, 1] * h)
+    iris = np.asarray(result.iris[0])
+    li = (iris[0, 0, 0] * w, iris[0, 0, 1] * h)
+    ok = (iou >= 0.99
+          and abs(nose[0] - 263.85) <= 1.0 and abs(nose[1] - 143.37) <= 1.0
+          and abs(li[0] - 236.17) <= 1.0 and abs(li[1] - 108.88) <= 1.0)
+    return ok, iou, nose
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", choices=["bf16", "f32", "auto"],
+                    default="auto")
+    ap.add_argument("--model", choices=["back", "short", "full"],
+                    default="back")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+    from tpu_face.utils.image_io import load_image
+
+    model = {"back": FaceDetectionModel.BACK_CAMERA,
+             "short": FaceDetectionModel.SHORT,
+             "full": FaceDetectionModel.FULL}[args.model]
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev.platform} ({dev.device_kind}); "
+         f"batch={args.batch} model={args.model}")
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    batch = np.broadcast_to(img, (args.batch,) + img.shape)
+    batch = jnp.asarray(np.ascontiguousarray(batch))
+
+    order = (["bf16", "f32"] if args.dtype == "auto" else [args.dtype])
+    cascade = None
+    for name in order:
+        dtype = jnp.bfloat16 if name == "bf16" else jnp.float32
+        cand = FaceCascade(model, compute_dtype=dtype)
+        result = jax.block_until_ready(cand(batch[:1]))
+        ok, iou, nose = _accuracy_ok(result)
+        _log(f"{name}: accuracy ok={ok} iou={iou:.4f} nose={nose}")
+        if ok:
+            cascade = cand
+            chosen = name
+            break
+    if cascade is None:
+        _log("no configuration met the accuracy budget")
+        sys.exit(1)
+
+    # compile for the bench batch, then steady-state timing
+    jax.block_until_ready(cascade(batch))
+    for _ in range(args.warmup):
+        jax.block_until_ready(cascade(batch))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = cascade(batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = args.batch * args.iters / dt
+    p50_ms = dt / args.iters * 1e3
+    _log(f"dtype={chosen} {fps:.1f} frames/s; {p50_ms:.2f} ms/step "
+         f"({p50_ms / args.batch:.4f} ms/frame)")
+
+    baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
+    print(json.dumps({
+        "metric": "cascade_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

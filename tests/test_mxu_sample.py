@@ -1,0 +1,87 @@
+"""MXU hat-matmul sampling backends vs the exact gather path.
+
+The hat-weight formulation is algebraically identical to two-tap
+zero-border bilinear (see ops/image.py:_hat); differences are fp
+reassociation only.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_face.ops import image as image_ops
+from tpu_face.utils.image_io import load_image
+
+MAN = "/root/reference/test_data/man.jpg"
+
+
+def _roi(cx, cy, w, h, rot):
+    return jnp.asarray(np.array([cx, cy, w, h, rot], np.float32))
+
+
+CASES = [
+    # (roi, out_size, keep_aspect, flip)  — the cascade's real geometries
+    (_roi(270, 180, 540, 360, 0.0), (256, 256), True, False),   # detect
+    (_roi(265.2, 143.8, 209.0, 209.0, -0.0267), (192, 192), False,
+     False),                                                    # mesh
+    (_roi(234.5, 110.2, 57.2, 57.2, 0.0259), (64, 64), True,
+     False),                                                    # iris L
+    (_roi(290.6, 108.8, 56.8, 56.8, -0.1054), (64, 64), True,
+     True),                                                     # iris R
+    (_roi(265.0, 143.0, 139.0, 139.0, 0.0), (112, 112), False,
+     False),                                                    # embed
+    # stress: larger rotation
+    (_roi(265.0, 143.0, 150.0, 150.0, 0.35), (192, 192), False, False),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_mxu_matches_gather(case):
+    roi, out_size, keep, flip = CASES[case]
+    img = jnp.asarray(load_image(MAN))
+
+    ref, pad_ref = jax.jit(lambda i, r: image_ops.warp_image_to_tensor(
+        i, r, out_size, keep, (0.0, 1.0), flip,
+        method="gather"))(img, roi)
+    fast, pad_fast = jax.jit(lambda i, r: image_ops.warp_image_to_tensor(
+        i, r, out_size, keep, (0.0, 1.0), flip,
+        method="mxu", band=64))(img, roi)
+    np.testing.assert_allclose(np.asarray(pad_fast), np.asarray(pad_ref),
+                               atol=1e-7)
+    # quantization (rint) makes outputs integer multiples of 1/255;
+    # identical math means identical pixels except exact .5 boundaries
+    diff = np.abs(np.asarray(fast) - np.asarray(ref))
+    assert (diff > 1e-6).mean() < 2e-3, diff.max()
+    assert diff.max() <= 1.0 / 255.0 + 1e-6
+
+
+def test_separable_matches_gather_rotation_free():
+    img = jnp.asarray(load_image(MAN))
+    roi = _roi(270, 180, 540, 360, 0.0)
+    ref, _ = jax.jit(lambda i, r: image_ops.warp_image_to_tensor(
+        i, r, (256, 256), True, (-1.0, 1.0), method="gather"))(img, roi)
+    fast, _ = jax.jit(lambda i, r: image_ops.warp_image_to_tensor(
+        i, r, (256, 256), True, (-1.0, 1.0),
+        method="separable"))(img, roi)
+    diff = np.abs(np.asarray(fast) - np.asarray(ref))
+    assert (diff > 1e-6).mean() < 2e-3
+    assert diff.max() <= 2.0 / 255.0 + 1e-6
+
+
+def test_mxu_vmap_batched_rois():
+    """Distinct per-frame ROIs under vmap (the cascade's real shape)."""
+    img = load_image(MAN)
+    batch = jnp.asarray(np.stack([img, img[::-1].copy()]))
+    rois = jnp.asarray(np.array([[265.0, 143.0, 209.0, 209.0, -0.0267],
+                                 [200.0, 100.0, 150.0, 150.0, 0.1]],
+                                np.float32))
+
+    def one(method):
+        return jax.jit(jax.vmap(
+            lambda i, r: image_ops.warp_image_to_tensor(
+                i, r, (192, 192), False, (0.0, 1.0),
+                method=method)[0]))(batch, rois)
+
+    diff = np.abs(np.asarray(one("mxu")) - np.asarray(one("gather")))
+    assert diff.max() <= 1.0 / 255.0 + 1e-6

@@ -1,0 +1,52 @@
+"""Multi-chip data-parallel sharding on the 8-device CPU test mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_face.models.face_detection import FaceDetectionModel
+from tpu_face.parallel import data_parallel_mesh, infer_sharded, shard_batch
+from tpu_face.pipeline import FaceCascade
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8  # conftest forces this
+
+
+def test_shard_batch_layout():
+    mesh = data_parallel_mesh()
+    imgs = np.zeros((16, 8, 8, 3), np.uint8)
+    sharded = shard_batch(imgs, mesh)
+    assert len(sharded.sharding.device_set) == 8
+    # batch axis split 8 ways -> each shard holds 2 frames
+    shard = sharded.addressable_shards[0]
+    assert shard.data.shape == (2, 8, 8, 3)
+
+
+def test_shard_batch_requires_divisible():
+    mesh = data_parallel_mesh()
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(np.zeros((3, 8, 8, 3), np.uint8), mesh)
+
+
+def test_sharded_cascade_matches_single_device():
+    cascade = FaceCascade(FaceDetectionModel.SHORT)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(8, 64, 64, 3)).astype(np.uint8)
+    mesh = data_parallel_mesh()
+    sharded_out = jax.block_until_ready(infer_sharded(cascade, imgs, mesh))
+    single_out = jax.block_until_ready(cascade.infer_batch(imgs))
+    # partitioned executables reassociate fp math; ~1e-4 drift expected
+    np.testing.assert_allclose(np.asarray(sharded_out.mesh),
+                               np.asarray(single_out.mesh), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sharded_out.score),
+                               np.asarray(single_out.score), atol=2e-3)
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

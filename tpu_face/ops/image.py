@@ -91,30 +91,14 @@ def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
     return pad_x, pad_y, ph, pv
 
 
-def warp_image_to_tensor(image: jnp.ndarray,
-                         roi_abs: jnp.ndarray,
-                         out_size: Tuple[int, int],
-                         keep_aspect_ratio: bool,
-                         output_range: Tuple[float, float] = (0.0, 1.0),
-                         flip_horizontal=False,
-                         quantize_uint8: bool = True):
-    """The fused ``image_to_tensor``: one gather + one fma.
+def _source_coords(roi_abs: jnp.ndarray, out_size: Tuple[int, int],
+                   keep_aspect_ratio: bool, flip_horizontal):
+    """Source sampling coordinates for the ``image_to_tensor`` warp.
 
-    Args:
-      image: [H, W, 3] uint8 or float source image (RGB).
-      roi_abs: (5,) array of (cx, cy, w, h, rotation) in ABSOLUTE pixel
-        coordinates (traced; callers scale normalized ROIs by image size).
-      out_size: static (width, height) of the output tensor.
-      keep_aspect_ratio: static; True applies reference letterboxing.
-      output_range: static (min, max) pixel normalization range.
-      flip_horizontal: traced or static bool (mirrors the output).
-
-    Returns:
-      (tensor [Ho, Wo, 3] f32, padding (4,) f32 = (l, t, r, b)).
+    Returns (src_x [Ho,Wo], src_y [Ho,Wo], padding (4,)).  Shared by the
+    gather and MXU sampling backends.
     """
     wo, ho = out_size
-    img = image.astype(jnp.float32)
-
     cx, cy, rw, rh, rot = (roi_abs[0], roi_abs[1], roi_abs[2], roi_abs[3],
                            roi_abs[4])
 
@@ -151,8 +135,11 @@ def warp_image_to_tensor(image: jnp.ndarray,
 
     src_x = c0x + qx * (c1x - c0x) + qy * (c3x - c0x)
     src_y = c0y + qx * (c1y - c0y) + qy * (c3y - c0y)
+    return src_x, src_y, padding
 
-    out = bilinear_sample(img, src_x, src_y)
+
+def _normalize_pixels(out, output_range: Tuple[float, float],
+                      quantize_uint8: bool):
     if quantize_uint8:
         # The reference chain materializes uint8 Mats between stages
         # (OpenCV warp/resize on 8-bit images round-to-even each pixel,
@@ -160,8 +147,140 @@ def warp_image_to_tensor(image: jnp.ndarray,
         # normalized tensor is bit-comparable.
         out = jnp.rint(out)
     lo, hi = output_range
-    out = out * ((hi - lo) / 255.0) + lo
-    return out, padding
+    return out * ((hi - lo) / 255.0) + lo
+
+
+def _hat(t: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear hat weights: B(k - s) = max(0, 1 - |k - s|).  A row of
+    hat weights over integer taps k reproduces exactly the two-tap
+    zero-border bilinear gather at coordinate s."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def mxu_sample(image: jnp.ndarray, src_x: jnp.ndarray, src_y: jnp.ndarray,
+               band: int = 32, row_tile: int = 8,
+               precision=None) -> jnp.ndarray:
+    """Bilinear sample as banded hat-weight matmuls (MXU path).
+
+    TPU lowers per-pixel gathers to serialized row loads (~0.2 GB/s
+    effective); this formulation replaces the gather with dense matmuls
+    against sparse-in-structure hat-weight matrices, which the MXU eats:
+
+      out[p, c] = sum_y B(y - ys[p]) * sum_x B(x - xs[p]) * img[y, x, c]
+
+    The y-sum touches only rows [floor(min ys), floor(max ys)+1] of the
+    source per tile of ``row_tile`` output rows, so each tile slices a
+    ``band``-row strip (dynamic_slice = contiguous DMA, no gather) and
+    contracts over the full width on the MXU.
+
+    ``band`` bounds the vertical source extent of ``row_tile`` output
+    rows: row_tile * roi_h / Ho * cos + roi_w * |sin| + 2.  ROIs beyond
+    it (extreme rotation + extreme scale) clamp to the band edge —
+    callers pick ``band`` for their envelope; the gather path remains
+    the exact general fallback.
+
+    image: [H, W, C] f32; src_x/src_y: [Ho, Wo].  Returns [Ho, Wo, C].
+    """
+    h, w, c = image.shape
+    ho, wo = src_x.shape
+    assert ho % row_tile == 0, (ho, row_tile)
+    n_tiles = ho // row_tile
+    p = row_tile * wo
+
+    xs = src_x.reshape(n_tiles, p)
+    ys = src_y.reshape(n_tiles, p)
+    # per-tile band start: cover floor(min ys) .. floor(max ys)+1
+    starts = jnp.clip(jnp.floor(jnp.min(ys, axis=1)).astype(jnp.int32),
+                      0, max(h - band, 0))
+
+    cols = jnp.arange(w, dtype=jnp.float32)
+    rows = jnp.arange(band, dtype=jnp.float32)
+
+    def tile(carry, args):
+        xs_t, ys_t, start = args
+        strip = jax.lax.dynamic_slice(
+            image, (start, 0, 0), (min(band, h), w, c))
+        wx = _hat(cols[None, :] - xs_t[:, None])            # [P, W]
+        # contract over x on the MXU: [P, W] @ [W, band*C]
+        t1 = jnp.dot(wx, strip.transpose(1, 0, 2).reshape(w, -1),
+                     precision=precision)                    # [P, band*C]
+        wy = _hat(rows[None, :] - (ys_t[:, None]
+                                   - start.astype(jnp.float32)))
+        out = jnp.einsum("pb,pbc->pc",
+                         wy[:, :min(band, h)],
+                         t1.reshape(p, min(band, h), c),
+                         precision=precision)
+        return carry, out
+
+    _, tiles = jax.lax.scan(tile, None, (xs, ys, starts))
+    return tiles.reshape(ho, wo, c)
+
+
+def separable_sample(image: jnp.ndarray, src_x: jnp.ndarray,
+                     src_y: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """Bilinear sample for AXIS-ALIGNED maps (rotation == 0): src_x
+    constant along rows, src_y constant along columns.  Two hat-weight
+    matmuls over the full image — the cheapest exact path, used by the
+    whole-image detection warp and the embeddings crop."""
+    h, w, c = image.shape
+    ho, wo = src_x.shape
+    xs = src_x[0]            # [Wo]
+    ys = src_y[:, 0]         # [Ho]
+    wx = _hat(jnp.arange(w, dtype=jnp.float32)[None, :] - xs[:, None])
+    wy = _hat(jnp.arange(h, dtype=jnp.float32)[None, :] - ys[:, None])
+    t1 = jnp.dot(wy, image.reshape(h, -1),
+                 precision=precision).reshape(ho, w, c)      # [Ho, W, C]
+    out = jnp.einsum("ox,hxc->hoc", wx, t1, precision=precision)
+    return out
+
+
+def warp_image_to_tensor(image: jnp.ndarray,
+                         roi_abs: jnp.ndarray,
+                         out_size: Tuple[int, int],
+                         keep_aspect_ratio: bool,
+                         output_range: Tuple[float, float] = (0.0, 1.0),
+                         flip_horizontal=False,
+                         quantize_uint8: bool = True,
+                         method: str = "gather",
+                         band: int = 32,
+                         precision=None):
+    """The fused ``image_to_tensor``: one resampling pass + one fma.
+
+    Args:
+      image: [H, W, 3] uint8 or float source image (RGB).
+      roi_abs: (5,) array of (cx, cy, w, h, rotation) in ABSOLUTE pixel
+        coordinates (traced; callers scale normalized ROIs by image size).
+      out_size: static (width, height) of the output tensor.
+      keep_aspect_ratio: static; True applies reference letterboxing.
+      output_range: static (min, max) pixel normalization range.
+      flip_horizontal: traced or static bool (mirrors the output).
+      method: static sampling backend —
+        "gather"    exact XLA gather (reference path; fast on CPU),
+        "pallas"    banded hat-matmul Pallas TPU kernel (the fast path
+                    for rotated ROIs; see ops/pallas_warp.py),
+        "mxu"       the same algorithm in pure XLA (slower: weight
+                    matrices round-trip HBM; kept as a portable check),
+        "separable" two-matmul path for rotation-free ROIs.
+      band: vertical source band per 8 output rows ("mxu"/"pallas").
+
+    Returns:
+      (tensor [Ho, Wo, 3] f32, padding (4,) f32 = (l, t, r, b)).
+    """
+    img = image.astype(jnp.float32)
+    src_x, src_y, padding = _source_coords(roi_abs, out_size,
+                                           keep_aspect_ratio,
+                                           flip_horizontal)
+    if method == "pallas":
+        from . import pallas_warp
+        out = pallas_warp.warp_sample(img.transpose(2, 0, 1), src_x,
+                                      src_y, band=band)
+    elif method == "mxu":
+        out = mxu_sample(img, src_x, src_y, band=band, precision=precision)
+    elif method == "separable":
+        out = separable_sample(img, src_x, src_y, precision=precision)
+    else:
+        out = bilinear_sample(img, src_x, src_y)
+    return _normalize_pixels(out, output_range, quantize_uint8), padding
 
 
 def whole_image_roi(image_size: Tuple[int, int]) -> jnp.ndarray:

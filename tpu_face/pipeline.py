@@ -1,0 +1,243 @@
+"""FaceCascade: the full detect -> ROI -> mesh -> 2x iris chain as ONE
+jitted, batched XLA program.
+
+The reference runs the cascade as four separate interpreter sessions with
+host round-trips between every stage (reference: lib.rs:18-84 is the
+canonical driver).  Here the whole chain stays on device: the detector's
+weighted NMS feeds the face-ROI math, the mesh warp, the eye-ROI math and
+both iris inferences (batched together as left + mirrored right) without
+ever leaving HBM; a single host transfer returns all results.  Batch is a
+leading vmap axis, so the same program serves any batch size and shards
+over a device mesh by batch (see sharding.py).
+
+Stage semantics match the standalone models exactly:
+  detection    face_detection.rs:205-267
+  face ROI     face_landmark.rs:180-198 (scale 1.5, SquareLong, eye rot)
+  face mesh    face_landmark.rs:232-305
+  eye ROIs     iris_landmark.rs:268-292 (scale 2.3, SquareLong)
+  iris x2      iris_landmark.rs:158-248 (right eye mirrored)
+  refinement   iris_landmark.rs:380-398
+"""
+
+from functools import partial
+from pathlib import Path
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compiler import Graph, build_jax_fn
+from .models.face_detection import (_DATA_DIR, _MODEL_FILES, _SSD_OPTS,
+                                    FaceDetectionModel)
+from .models.face_landmark import ROI_SCALE as MESH_ROI_SCALE
+from .models.iris_landmark import (LEFT_EYE_END, LEFT_EYE_START,
+                                   LEFT_EYE_TO_FACE_LANDMARK_INDEX,
+                                   RIGHT_EYE_END, RIGHT_EYE_START,
+                                   RIGHT_EYE_TO_FACE_LANDMARK_INDEX)
+from .models.iris_landmark import ROI_SCALE as IRIS_ROI_SCALE
+from .ops import anchors as anchors_lib
+from .ops import image as image_ops
+from .ops import postprocess as post
+
+
+class CascadeResult(NamedTuple):
+    """Per-image results of the fused cascade (leading batch axis).
+
+    All coordinates are normalized to the input image.  ``face_valid``
+    gates detection+NMS validity; ``mesh_valid`` additionally applies
+    the mesh presence threshold.
+    """
+
+    detection: jnp.ndarray      # [B, 8, 2] corners + 6 keypoints
+    score: jnp.ndarray          # [B] detection score
+    face_valid: jnp.ndarray     # [B] bool
+    face_roi: jnp.ndarray       # [B, 5] (cx, cy, w, h, rot) normalized
+    mesh: jnp.ndarray           # [B, 468, 3] refined with iris contours
+    mesh_raw: jnp.ndarray       # [B, 468, 3] before iris refinement
+    mesh_score: jnp.ndarray     # [B] presence score
+    mesh_valid: jnp.ndarray     # [B] bool
+    eye_rois: jnp.ndarray       # [B, 2, 5] left/right normalized
+    iris: jnp.ndarray           # [B, 2, 5, 3] left/right iris landmarks
+
+
+def _norm_rotation(angle):
+    two_pi = 2.0 * jnp.pi
+    return angle - two_pi * jnp.floor((angle + jnp.pi) / two_pi)
+
+
+def _bbox_to_roi_abs(xmin, ymin, xmax, ymax, kp0, kp1, scale, w, h):
+    """Normalized bbox + two rotation keypoints -> ABS (5,) ROI.
+
+    Square-long sizing (transform.rs:87-109) with rotation from the
+    keypoint pair (transform.rs:62-75), as both ROI derivations use."""
+    long_side = jnp.maximum((xmax - xmin) * w, (ymax - ymin) * h)
+    rw = long_side * scale[0]
+    rh = long_side * scale[1]
+    cx = (xmin + xmax) / 2.0 * w
+    cy = (ymin + ymax) / 2.0 * h
+    rot = _norm_rotation(-jnp.arctan2(kp0[1] - kp1[1], kp1[0] - kp0[0]))
+    return jnp.stack([cx, cy, rw, rh, rot])
+
+
+class FaceCascade:
+    """The fused cascade.  ``infer_batch(images)`` takes a uint8/float
+    batch [B, H, W, 3] (all the same size) and returns a
+    ``CascadeResult`` of device arrays; ``__call__`` is the raw jitted
+    function for benchmarking/sharding."""
+
+    def __init__(self,
+                 detection_model: FaceDetectionModel =
+                 FaceDetectionModel.BACK_CAMERA,
+                 model_path: Optional[str] = None,
+                 compute_dtype=jnp.float32,
+                 warp_method: str = "auto"):
+        base = Path(model_path) if model_path else _DATA_DIR
+        det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
+        mesh_graph = Graph(base / "face_landmark.npz")
+        iris_graph = Graph(base / "iris_landmark.npz")
+        self._det_net = build_jax_fn(det_graph, compute_dtype=compute_dtype)
+        self._mesh_net = build_jax_fn(mesh_graph,
+                                      compute_dtype=compute_dtype)
+        self._iris_net = build_jax_fn(iris_graph,
+                                      compute_dtype=compute_dtype)
+        self.anchors = jnp.asarray(
+            anchors_lib.ssd_generate_anchors(_SSD_OPTS[detection_model]))
+        _, self.det_h, self.det_w, _ = det_graph.input_shape
+        _, self.mesh_h, self.mesh_w, _ = mesh_graph.input_shape
+        _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
+        if warp_method == "auto":
+            # per-pixel gathers serialize on TPU (~0.2 GB/s effective);
+            # the Pallas hat-matmul kernel rides the MXU instead.  On
+            # CPU the gather is the faster exact path.
+            warp_method = ("pallas" if jax.default_backend() == "tpu"
+                           else "gather")
+        self._warp = warp_method
+        self._jitted = {}
+
+    # ---- single-image program (vmapped over batch) ---------------------
+
+    def _single(self, image, image_size):
+        w, h = image_size
+        img = image.astype(jnp.float32)
+
+        # Stage 1: detection (reference face_detection.rs:205-267).
+        # Whole-image ROI has rotation 0, so the warp is separable: two
+        # hat matmuls, the cheapest exact path.
+        whole = jnp.array([0.5 * w, 0.5 * h, w, h, 0.0], jnp.float32)
+        tensor, padding = image_ops.warp_image_to_tensor(
+            img, whole, (self.det_w, self.det_h),
+            keep_aspect_ratio=True, output_range=(-1.0, 1.0),
+            method=("separable" if self._warp in ("mxu", "pallas")
+                    else self._warp))
+        raw_boxes, raw_scores = self._det_net(tensor[None])
+        boxes = post.decode_boxes(raw_boxes[0], self.anchors,
+                                  float(self.det_h))
+        scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
+        valid = post.detection_validity(boxes, scores)
+        out_d, out_s, out_v = post.weighted_nms(boxes, scores, valid,
+                                                max_outputs=1)
+        det = post.letterbox_removal(out_d[0], padding)  # [8, 2]
+        score = out_s[0]
+        face_valid = out_v[0]
+
+        # Stage 2: face ROI (face_landmark.rs:180-198); keypoint rows
+        # 2 (left eye) and 3 (right eye), scale 1.5, square-long.
+        face_roi_abs = _bbox_to_roi_abs(
+            det[0, 0], det[0, 1], det[1, 0], det[1, 1],
+            det[2] * jnp.array([w, h]), det[3] * jnp.array([w, h]),
+            MESH_ROI_SCALE, w, h)
+
+        # Stage 3: face mesh (face_landmark.rs:232-305).  band=64 covers
+        # |rotation| up to ~0.27 rad at typical face-ROI scale; the
+        # standalone FaceLandmark model remains the exact path for
+        # extreme geometry.
+        mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
+            img, face_roi_abs, (self.mesh_w, self.mesh_h),
+            keep_aspect_ratio=False, output_range=(0.0, 1.0),
+            method=self._warp, band=64)
+        raw_mesh, raw_flag = self._mesh_net(mesh_tensor[None])
+        mesh_score = jax.nn.sigmoid(raw_flag.reshape(()))
+        mesh = post.project_landmarks(
+            raw_mesh.reshape(-1), (self.mesh_w, self.mesh_h), image_size,
+            mesh_pad, face_roi_abs)  # [468, 3] normalized
+
+        # Stage 4: eye ROIs (iris_landmark.rs:268-292)
+        def eye_roi(i0, i1):
+            p0, p1 = mesh[i0], mesh[i1]
+            xmin = jnp.minimum(p0[0], p1[0])
+            xmax = jnp.maximum(p0[0], p1[0])
+            ymin = jnp.minimum(p0[1], p1[1])
+            ymax = jnp.maximum(p0[1], p1[1])
+            return _bbox_to_roi_abs(xmin, ymin, xmax, ymax,
+                                    p0[:2] * jnp.array([w, h]),
+                                    p1[:2] * jnp.array([w, h]),
+                                    IRIS_ROI_SCALE, w, h)
+
+        left_roi = eye_roi(LEFT_EYE_START, LEFT_EYE_END)
+        right_roi = eye_roi(RIGHT_EYE_START, RIGHT_EYE_END)
+
+        # Stage 5: iris x2, batched as (left, mirrored right)
+        # (iris_landmark.rs:158-248)
+        lt, lp = image_ops.warp_image_to_tensor(
+            img, left_roi, (self.iris_w, self.iris_h),
+            keep_aspect_ratio=True, output_range=(0.0, 1.0),
+            flip_horizontal=False, method=self._warp, band=32)
+        rt, rp = image_ops.warp_image_to_tensor(
+            img, right_roi, (self.iris_w, self.iris_h),
+            keep_aspect_ratio=True, output_range=(0.0, 1.0),
+            flip_horizontal=True, method=self._warp, band=32)
+        raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
+
+        def project_eye(raw, roi_abs, pad, flip):
+            return post.project_landmarks(
+                raw.reshape(-1), (self.iris_w, self.iris_h), image_size,
+                pad, roi_abs, flip_horizontal=flip)
+
+        l_contour = project_eye(raw_contour[0], left_roi, lp, False)
+        r_contour = project_eye(raw_contour[1], right_roi, rp, True)
+        l_iris = project_eye(raw_iris[0], left_roi, lp, False)
+        r_iris = project_eye(raw_iris[1], right_roi, rp, True)
+
+        # Stage 6: mesh refinement (iris_landmark.rs:380-398)
+        refined = mesh.at[jnp.asarray(
+            LEFT_EYE_TO_FACE_LANDMARK_INDEX)].set(l_contour)
+        refined = refined.at[jnp.asarray(
+            RIGHT_EYE_TO_FACE_LANDMARK_INDEX)].set(r_contour)
+
+        inv_w = 1.0 / w
+        inv_h = 1.0 / h
+        to_norm = jnp.array([inv_w, inv_h, 1.0, 1.0, 1.0])
+        return CascadeResult(
+            detection=det,
+            score=score,
+            face_valid=face_valid,
+            face_roi=face_roi_abs * to_norm.at[2].set(inv_w)
+                                           .at[3].set(inv_h),
+            mesh=refined,
+            mesh_raw=mesh,
+            mesh_score=mesh_score,
+            mesh_valid=face_valid & (mesh_score > 0.5),
+            eye_rois=jnp.stack([left_roi, right_roi])
+                     * to_norm.at[2].set(inv_w).at[3].set(inv_h),
+            iris=jnp.stack([l_iris, r_iris]),
+        )
+
+    # ---- batched API ---------------------------------------------------
+
+    def _get_jitted(self, h, w):
+        key = (h, w)
+        if key not in self._jitted:
+            fn = partial(self._single, image_size=(w, h))
+            self._jitted[key] = jax.jit(jax.vmap(fn))
+        return self._jitted[key]
+
+    def __call__(self, images: jnp.ndarray) -> CascadeResult:
+        _, h, w, _ = images.shape
+        return self._get_jitted(h, w)(images)
+
+    def infer_batch(self, images) -> CascadeResult:
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        return self(images)
