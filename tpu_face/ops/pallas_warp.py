@@ -1,38 +1,54 @@
-"""Pallas TPU kernel for the banded bilinear warp gather.
+"""Pallas TPU kernel for the blocked bilinear warp gather.
 
 Why a kernel: the cascade warps each frame with a per-frame rotated ROI.
 XLA lowers the per-pixel bilinear gather to serialized row loads (~0.2
 GB/s effective on v5e), and the pure-XLA hat-matmul alternative has to
 materialize [P, W] weight matrices in HBM per row-tile (tens of GB/s of
-pure weight traffic).  Inside a kernel the hat weights live only in
-VMEM/registers, the source strip is a true dynamic slice (contiguous DMA,
-no gather), and the y-contraction rides the MXU:
+pure weight traffic).  Inside the kernel the hat weights live only in
+VMEM/registers, the source window is a true dynamic slice (contiguous
+DMA, no gather), and the x-contraction rides the MXU.
 
-  for each tile of 8 output rows (P = 8*Wo output pixels):
-    ystart  = floor(min ys)                    (scalar)
-    wy[P,b] = hat(ystart + b - ys[p])          (VPU, VMEM-only)
-    strip   = img[c, ystart : ystart+band, :]  (dynamic slice DMA)
-    t1[P,W] = wy @ strip                       (MXU)
-    out[p]  = sum_x hat(x - xs[p]) * t1[p, x]  (VPU masked reduce)
+The output is processed in 8x`CW` pixel blocks.  For each block:
 
-Exactly the two-tap zero-border bilinear of ops/image.py:bilinear_sample
-whenever the tile's vertical source extent fits in ``band`` (see
-ops/image.py:mxu_sample for the envelope); fp differences are dot-order
-only.
+  ystart    = floor(min ys) aligned down to 8 rows     (sublane align)
+  xa        = floor(min xs) aligned down to 128 lanes  (lane align)
+  strip256  = plane[ystart : ystart+band, xa : xa+256]  (dynamic slice)
+  window    = roll(strip256, -(xmin - xa))[:, :128]     (lane roll)
+  wx[k, p]  = hat(xmin + k - xs[p])                     (VPU, in VMEM)
+  t1        = window.T-free dot: [band, 128] @ [128, P] (MXU)
+  out[p]    = sum_b hat(ystart + b - ys[p]) * t1[b, p]  (VPU reduce)
 
-Grid is (T,) per frame and the image block index is constant across t,
-so the frame stays resident in VMEM for all its tiles; jax.vmap batches
-the call by prepending a batch grid dimension.
+This reproduces exactly the two-tap zero-border bilinear of
+ops/image.py:bilinear_sample whenever the block's source extent fits the
+static windows:
+
+  x: CW*|dx/du| + 8*|dx/dv| + 2 <= 126
+  y: 8*|dy/dv| + CW*|dy/du| + 2 <= band - 7
+
+(derivative magnitudes = roi_scale*cos/sin terms).  With CW=32 that
+admits ROI scales up to ~3.9x output size and rotations beyond +-0.4
+rad at typical scales — far outside the cascade's operating envelope;
+the XLA gather path remains the exact general fallback.  fp differences
+are dot-order only; with bf16 dots (uint8 pixels are exact in bf16) at
+most one uint8 quantization level.
+
+Grid is (T,) row-tiles per frame with the column blocks unrolled inside,
+and the image-plane block index is constant, so the frame stays resident
+in VMEM across all its tiles; jax.vmap batches the call by prepending a
+batch grid dimension.
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 8  # output rows per grid step
+ROW_TILE = 8   # output rows per block (sublane granularity)
+XWIN = 128     # working x-window (lanes)
+XLOAD = 2 * XWIN  # aligned load width before the roll
 
 
 def _hat(t):
@@ -40,94 +56,110 @@ def _hat(t):
 
 
 def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
-                 band, dot_dtype):
-    """One tile of ROW_TILE output rows.
+                 band, dot_dtype, cw):
+    """One row-tile: CB column blocks of [ROW_TILE, cw] output pixels.
 
-    Shapes (all loads 2D-native — Mosaic supports neither cross-lane
-    reshapes nor 3D strided loads): r/g/b_ref [H, W] channel planes;
-    xs_ref/ys_ref [1, ROW_TILE, Wo]; out_ref [1, 3, ROW_TILE, Wo].
-    Per output row r: wx [W, Wo] hat weights; t1 = strip @ wx on the
-    MXU ([band, W] @ [W, Wo]); then the y-contraction is a masked
-    sublane reduce with wy [band, Wo].
+    r/g/b_ref: [Hp, Wp] channel planes (padded);
+    xs_ref/ys_ref: [1, CB, 1, PB] block-flattened coords;
+    out_ref: [1, 3, CB, PB].
     """
     h = r_ref.shape[0]
     w = r_ref.shape[1]
-    wo = xs_ref.shape[2]
+    cb_count = xs_ref.shape[1]
+    pb = xs_ref.shape[3]
 
-    xs_all = xs_ref[0]                                   # [R, Wo]
-    ys_all = ys_ref[0]                                   # [R, Wo]
-    # sublane-aligned band start (vector loads need 8-row alignment);
-    # the 0..7 alignment slack comes out of the band envelope
-    ystart = jnp.clip(jnp.floor(jnp.min(ys_all)).astype(jnp.int32),
-                      0, h - band)
-    ystart = pl.multiple_of((ystart // 8) * 8, 8)
-    ystart_f = ystart.astype(jnp.float32)
-
-    strips = []
-    for ref in (r_ref, g_ref, b_ref):
-        s = ref[pl.ds(ystart, band), :]                  # [band, W]
-        strips.append(s.astype(dot_dtype) if dot_dtype is not None else s)
-
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, wo), 0
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, pb), 0
                                       ).astype(jnp.float32)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (band, wo), 0
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
                                       ).astype(jnp.float32)
 
-    for r in range(ROW_TILE):
-        wx = _hat(iota_w - xs_all[r:r + 1, :])           # [W, Wo]
-        wy = _hat(iota_b + ystart_f - ys_all[r:r + 1, :])  # [band, Wo]
+    for cb in range(cb_count):
+        xs = xs_ref[0, cb]                                # [1, PB]
+        ys = ys_ref[0, cb]                                # [1, PB]
+
+        ymin = jnp.floor(jnp.min(ys)).astype(jnp.int32)
+        ystart = jnp.clip((ymin // 8) * 8, 0, h - band)
+        ystart = pl.multiple_of(ystart, 8)
+
+        xmin = jnp.clip(jnp.floor(jnp.min(xs)).astype(jnp.int32),
+                        0, w - 1)
+        xa = jnp.clip((xmin // XWIN) * XWIN, 0, w - XLOAD)
+        xa = pl.multiple_of(xa, XWIN)
+        off = xmin - xa
+
+        wx = _hat(iota_x + xmin.astype(jnp.float32) - xs)  # [XWIN, PB]
+        wy = _hat(iota_y + ystart.astype(jnp.float32) - ys)  # [band, PB]
         if dot_dtype is not None:
             wx = wx.astype(dot_dtype)
-        for c in range(3):
-            t1 = jnp.dot(strips[c], wx,
-                         preferred_element_type=jnp.float32)  # [band, Wo]
-            out_ref[0, c, r, :] = jnp.sum(wy * t1, axis=0)
+
+        for c, ref in enumerate((r_ref, g_ref, b_ref)):
+            strip = ref[pl.ds(ystart, band), pl.ds(xa, XLOAD)]
+            window = pltpu.roll(strip, -off, axis=1)[:, :XWIN]
+            if dot_dtype is not None:
+                window = window.astype(dot_dtype)
+            t1 = jnp.dot(window, wx,
+                         preferred_element_type=jnp.float32)  # [band, PB]
+            out_ref[0, c, cb, :] = jnp.sum(wy * t1, axis=0)
 
 
 def warp_sample(image_chw: jnp.ndarray, src_x: jnp.ndarray,
-                src_y: jnp.ndarray, band: int = 64,
+                src_y: jnp.ndarray, band: int = 48,
                 dot_dtype=jnp.bfloat16, interpret: bool = False
                 ) -> jnp.ndarray:
-    """Bilinear-sample one frame on the TPU MXU.
+    """Bilinear-sample one frame on the TPU MXU (see module docstring).
 
     Args:
-      image_chw: [3, H, W] f32 source frame (channel-major so the strip
-        slice is 2D contiguous).
+      image_chw: [3, H, W] f32 source frame (channel-major planes).
       src_x, src_y: [Ho, Wo] source coordinates.
-      band: static vertical band (source rows per ROW_TILE output rows).
-        Must satisfy ROW_TILE*roi_h/Ho*cos + Wo_scale*|sin| + 2 <= band.
-      dot_dtype: matmul input dtype.  uint8 pixel values are EXACT in
-        bfloat16 (8 significand bits hold 0..255), so bf16 only rounds
-        the hat weights (~2^-8 relative — below one quantization level);
-        pass None to keep full f32 dots.
+      band: static vertical source window (multiple of 8).
+      dot_dtype: matmul input dtype (None = full f32 dots).
       interpret: run in the Pallas interpreter (CPU testing).
 
     Returns: [Ho, Wo, 3] f32 sampled pixels.
     """
     _, h, w = image_chw.shape
     ho, wo = src_x.shape
-    band = min(band, h)
     assert ho % ROW_TILE == 0, (ho, ROW_TILE)
+    cw = max(d for d in (32, 16, 8, 4, 2, 1) if wo % d == 0)
     t = ho // ROW_TILE
-    p = ROW_TILE * wo
+    cb = wo // cw
+    pb = ROW_TILE * cw
 
-    xs = src_x.reshape(t, ROW_TILE, wo)
-    ys = src_y.reshape(t, ROW_TILE, wo)
+    # pad planes so every aligned [band, XLOAD] window exists
+    hp = max(-(-h // 8) * 8, band)
+    wp = max(-(-w // XWIN) * XWIN, XLOAD)
+    band = min(band, hp)
+    planes = jnp.pad(image_chw.astype(jnp.float32),
+                     ((0, 0), (0, hp - h), (0, wp - w)))
 
-    plane = pl.BlockSpec((h, w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    coords = pl.BlockSpec((1, ROW_TILE, wo), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
+    # [Ho, Wo] -> [T, CB, 1, PB] block-row-major
+    def blocked(a):
+        return (a.reshape(t, ROW_TILE, cb, cw)
+                .transpose(0, 2, 1, 3)
+                .reshape(t, cb, 1, pb))
+
     out = pl.pallas_call(
-        partial(_warp_kernel, band=band, dot_dtype=dot_dtype),
+        partial(_warp_kernel, band=band, dot_dtype=dot_dtype, cw=cw),
         grid=(t,),
-        in_specs=[plane, plane, plane, coords, coords],
-        out_specs=pl.BlockSpec((1, 3, ROW_TILE, wo),
-                               lambda i: (i, 0, 0, 0),
+        in_specs=[
+            pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, 1, pb), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, 1, pb), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, cb, pb), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 3, ROW_TILE, wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, 3, cb, pb), jnp.float32),
         interpret=interpret,
-    )(image_chw[0], image_chw[1], image_chw[2], xs, ys)
+    )(planes[0], planes[1], planes[2], blocked(src_x), blocked(src_y))
 
-    # [T, 3, R, Wo] -> [Ho, Wo, 3]
-    return out.transpose(0, 2, 3, 1).reshape(ho, wo, 3)
+    # [T, 3, CB, PB] -> [Ho, Wo, 3]
+    return (out.reshape(t, 3, cb, ROW_TILE, cw)
+            .transpose(0, 3, 2, 4, 1)
+            .reshape(ho, wo, 3))

@@ -123,6 +123,9 @@ def weighted_nms(data: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     Returns:
       (out_data [T, P, 2], out_scores [T], out_valid [T])
     """
+    if max_outputs == 1:
+        return _weighted_nms_top1(data, scores, valid, threshold)
+
     d, sc, v = _sort_and_truncate(data, scores, valid, top_m)
     boxes = jnp.stack([d[:, 0, 0], d[:, 0, 1], d[:, 1, 0], d[:, 1, 1]],
                       axis=-1)
@@ -147,6 +150,36 @@ def weighted_nms(data: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     (_, _), (out_d, out_s, out_v) = jax.lax.scan(
         body, (v, jnp.asarray(False)), None, length=max_outputs)
     return out_d, out_s, out_v
+
+
+def _weighted_nms_top1(data, scores, valid, threshold):
+    """Single-output weighted NMS: the first merge of the sequential
+    algorithm needs no sort and no scan — top detection by argmax, one
+    IoU row, one weighted average.  O(N) instead of O(N^2); this is the
+    fused cascade's hot path (one face per frame)."""
+    masked = jnp.where(valid, scores, jnp.float32(-1e30))
+    top = jnp.argmax(masked)
+    top_box = data[top]                                    # [P, 2]
+    xmin, ymin = data[:, 0, 0], data[:, 0, 1]
+    xmax, ymax = data[:, 1, 0], data[:, 1, 1]
+    ixmin = jnp.maximum(xmin, top_box[0, 0])
+    iymin = jnp.maximum(ymin, top_box[0, 1])
+    ixmax = jnp.minimum(xmax, top_box[1, 0])
+    iymax = jnp.minimum(ymax, top_box[1, 1])
+    iw = ixmax - ixmin
+    ih = iymax - iymin
+    inter = jnp.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+    w_ = xmax - xmin
+    h_ = ymax - ymin
+    area = jnp.where((w_ > 0) & (h_ > 0), w_ * h_, 0.0)
+    top_area = area[top]
+    union = area + top_area - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)
+    cand = valid & (iou > threshold)
+    w = jnp.where(cand, scores, 0.0)
+    merged = jnp.tensordot(w, data, axes=1) / jnp.maximum(w.sum(), 1e-12)
+    out_d = jnp.where(jnp.any(cand), merged, top_box)
+    return out_d[None], scores[top][None], valid[top][None]
 
 
 def plain_nms(data: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,

@@ -120,6 +120,9 @@ class FaceCascade:
     def _single(self, image, image_size):
         w, h = image_size
         img = image.astype(jnp.float32)
+        # one channel-major copy shared by every Pallas warp in the frame
+        img_chw = (img.transpose(2, 0, 1) if self._warp == "pallas"
+                   else None)
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
@@ -155,7 +158,7 @@ class FaceCascade:
         mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
             img, face_roi_abs, (self.mesh_w, self.mesh_h),
             keep_aspect_ratio=False, output_range=(0.0, 1.0),
-            method=self._warp, band=64)
+            method=self._warp, band=64, image_chw=img_chw)
         raw_mesh, raw_flag = self._mesh_net(mesh_tensor[None])
         mesh_score = jax.nn.sigmoid(raw_flag.reshape(()))
         mesh = post.project_landmarks(
@@ -182,11 +185,13 @@ class FaceCascade:
         lt, lp = image_ops.warp_image_to_tensor(
             img, left_roi, (self.iris_w, self.iris_h),
             keep_aspect_ratio=True, output_range=(0.0, 1.0),
-            flip_horizontal=False, method=self._warp, band=32)
+            flip_horizontal=False, method=self._warp, band=32,
+            image_chw=img_chw)
         rt, rp = image_ops.warp_image_to_tensor(
             img, right_roi, (self.iris_w, self.iris_h),
             keep_aspect_ratio=True, output_range=(0.0, 1.0),
-            flip_horizontal=True, method=self._warp, band=32)
+            flip_horizontal=True, method=self._warp, band=32,
+            image_chw=img_chw)
         raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
 
         def project_eye(raw, roi_abs, pad, flip):
