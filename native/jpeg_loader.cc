@@ -1,0 +1,128 @@
+// Native host-side JPEG batch decoder.
+//
+// TPU-native replacement for the reference's OpenCV C++ image-decode
+// boundary (reference: utils.rs:8-21, `imdecode` + BGR->RGB).  At 5k+
+// frames/s/chip the Python/Pillow decode path on the host becomes the
+// feed bottleneck; this library decodes JPEG batches with libjpeg
+// across a thread pool directly into a caller-provided contiguous
+// [N, H, W, 3] RGB buffer ready for device transfer.
+//
+// C ABI only (consumed via ctypes from tpu_face/utils/native_loader.py;
+// no pybind11 in this environment).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// Decode one JPEG from memory into out (RGB888, row-major).  If the
+// image dimensions differ from (w, h) the decode fails (batch layout is
+// fixed).  Returns 0 on success.
+int decode_one(const uint8_t* data, unsigned long len, uint8_t* out,
+               int w, int h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_width) != w ||
+      static_cast<int>(cinfo.output_height) != h ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  const size_t stride = static_cast<size_t>(w) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read (width, height) from a JPEG header.  Returns 0 on success.
+int tpuface_jpeg_info(const uint8_t* data, unsigned long len, int* w,
+                      int* h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int tpuface_jpeg_decode(const uint8_t* data, unsigned long len,
+                        uint8_t* out, int w, int h) {
+  return decode_one(data, len, out, w, h);
+}
+
+// Decode n same-sized JPEGs into one contiguous [n, h, w, 3] buffer
+// using nthreads worker threads.  Returns the number of failed frames
+// (their slots are zero-filled).
+int tpuface_jpeg_decode_batch(const uint8_t* const* datas,
+                              const unsigned long* lens, uint8_t* out,
+                              int w, int h, int n, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  const size_t frame = static_cast<size_t>(w) * h * 3;
+  std::vector<int> failures(nthreads, 0);
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (int i = t; i < n; i += nthreads) {
+        uint8_t* dst = out + frame * i;
+        if (decode_one(datas[i], lens[i], dst, w, h) != 0) {
+          std::memset(dst, 0, frame);
+          failures[t]++;
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  int total = 0;
+  for (int f : failures) total += f;
+  return total;
+}
+
+}  // extern "C"
