@@ -82,3 +82,40 @@ def test_cascade_batch_consistency(result):
                                np.asarray(result.detection[0]), atol=1e-5)
     assert not bool(out.face_valid[1])
     assert not bool(out.mesh_valid[1])
+
+
+def test_cascade_multi_face():
+    """max_faces=2 adds a face axis; slot 0 matches the single-face
+    result on man.jpg (one face -> slot 1 invalid)."""
+    from tpu_face.models.face_detection import FaceDetectionModel
+    cascade = FaceCascade(FaceDetectionModel.BACK_CAMERA, max_faces=2)
+    img = load_image(MAN)
+    out = cascade.infer_batch(img[None])
+    assert out.mesh.shape == (1, 2, 468, 3)
+    assert out.iris.shape == (1, 2, 2, 5, 3)
+    assert bool(out.face_valid[0, 0])
+    assert not bool(out.face_valid[0, 1])
+    single = FaceCascade(FaceDetectionModel.BACK_CAMERA).infer_batch(
+        img[None])
+    # the max_faces=1 NMS fast path reassociates fp math vs the scan
+    # path; ~1e-5 drift, far below the 1 px (~2e-3 normalized) budget
+    np.testing.assert_allclose(np.asarray(out.mesh[0, 0]),
+                               np.asarray(single.mesh[0]), atol=3e-4)
+
+
+def test_cascade_multi_face_two_people():
+    """russ_cox images each have one face; a two-face composite image
+    yields two valid faces."""
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from PIL import Image
+    a = Image.open("/root/reference/test_data/russ_cox_1.jpg")
+    b = Image.open("/root/reference/test_data/russ_cox_2.jpg")
+    size = (200, 225)
+    composite = np.concatenate(
+        [np.asarray(a.convert("RGB").resize(size)),
+         np.asarray(b.convert("RGB").resize(size))], axis=1)
+    cascade = FaceCascade(FaceDetectionModel.FULL, max_faces=4)
+    out = cascade.infer_batch(composite[None])
+    assert int(np.asarray(out.face_valid[0]).sum()) == 2
+    # both meshes present
+    assert bool(out.mesh_valid[0, 0]) and bool(out.mesh_valid[0, 1])

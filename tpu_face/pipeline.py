@@ -46,7 +46,9 @@ class CascadeResult(NamedTuple):
 
     All coordinates are normalized to the input image.  ``face_valid``
     gates detection+NMS validity; ``mesh_valid`` additionally applies
-    the mesh presence threshold.
+    the mesh presence threshold.  With ``max_faces > 1`` every field
+    gains a face axis after the batch axis (e.g. mesh [B, N, 468, 3]);
+    with the default ``max_faces=1`` the shapes below apply.
     """
 
     detection: jnp.ndarray      # [B, 8, 2] corners + 6 keypoints
@@ -91,7 +93,8 @@ class FaceCascade:
                  FaceDetectionModel.BACK_CAMERA,
                  model_path: Optional[str] = None,
                  compute_dtype=jnp.float32,
-                 warp_method: str = "auto"):
+                 warp_method: str = "auto",
+                 max_faces: int = 1):
         base = Path(model_path) if model_path else _DATA_DIR
         det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
         mesh_graph = Graph(base / "face_landmark.npz")
@@ -113,6 +116,7 @@ class FaceCascade:
             warp_method = ("pallas" if jax.default_backend() == "tpu"
                            else "gather")
         self._warp = warp_method
+        self.max_faces = max_faces
         self._jitted = {}
 
     # ---- single-image program (vmapped over batch) ---------------------
@@ -139,10 +143,22 @@ class FaceCascade:
         scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
         valid = post.detection_validity(boxes, scores)
         out_d, out_s, out_v = post.weighted_nms(boxes, scores, valid,
-                                                max_outputs=1)
-        det = post.letterbox_removal(out_d[0], padding)  # [8, 2]
-        score = out_s[0]
-        face_valid = out_v[0]
+                                                max_outputs=self.max_faces)
+        dets = post.letterbox_removal(out_d, padding)  # [N, 8, 2]
+
+        if self.max_faces == 1:
+            return self._face_stages(img, img_chw, dets[0], out_s[0],
+                                     out_v[0], image_size)
+        return jax.vmap(
+            lambda d, s, v: self._face_stages(img, img_chw, d, s, v,
+                                              image_size))(dets, out_s,
+                                                           out_v)
+
+    def _face_stages(self, img, img_chw, det, score, face_valid,
+                     image_size):
+        """Stages 2-6 for one detected face (vmapped when
+        ``max_faces > 1``)."""
+        w, h = image_size
 
         # Stage 2: face ROI (face_landmark.rs:180-198); keypoint rows
         # 2 (left eye) and 3 (right eye), scale 1.5, square-long.
