@@ -19,6 +19,7 @@ landmarks <= 1 px) or the bench falls back from bf16 to f32.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -62,6 +63,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: first run pays ~minutes of XLA/Mosaic
+    # compilation, later runs start hot
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/tpu_face_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tpu_face.models.face_detection import FaceDetectionModel

@@ -75,7 +75,8 @@ class FaceDetection:
                  model_type: FaceDetectionModel = FaceDetectionModel.SHORT,
                  model_path: Optional[str] = None,
                  max_faces: int = 16,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 warp_method: str = "auto"):
         base = Path(model_path) if model_path else _DATA_DIR
         npz = base / f"{_MODEL_FILES[model_type]}.npz"
         if not npz.exists():
@@ -89,6 +90,7 @@ class FaceDetection:
             anchors_lib.ssd_generate_anchors(_SSD_OPTS[model_type]))
         _, self.in_h, self.in_w, _ = self.graph.input_shape
         self.max_faces = max_faces
+        self._warp = image_ops.resolve_warp_method(warp_method)
         self._jitted = {}
 
     # ---- the fused device program -------------------------------------
@@ -98,7 +100,9 @@ class FaceDetection:
         valid [T]).  Entirely on device."""
         tensor, padding = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
-            keep_aspect_ratio=True, output_range=(-1.0, 1.0))
+            keep_aspect_ratio=True, output_range=(-1.0, 1.0),
+            method=self._warp,
+            band=image_ops.auto_band(image_f32.shape[0], self.in_h))
         raw_boxes, raw_scores = self._net(tensor[None])
         boxes = post.decode_boxes(raw_boxes[0], self.anchors,
                                   float(self.in_h))

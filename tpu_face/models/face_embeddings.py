@@ -44,7 +44,7 @@ class FaceEmbeddings:
     embedding vector (128 or 512 floats)."""
 
     def __init__(self, model_path: Optional[str] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, warp_method: str = "auto"):
         base = Path(model_path) if model_path else _DATA_DIR
         npz = base / "face_embeddings.npz"
         if not npz.exists():
@@ -55,6 +55,7 @@ class FaceEmbeddings:
         self.graph = Graph(npz)
         self._net = build_jax_fn(self.graph, compute_dtype=compute_dtype)
         _, self.in_h, self.in_w, _ = self.graph.input_shape
+        self._warp = image_ops.resolve_warp_method(warp_method)
         self._jitted = {}
 
     # ---- the fused device program -------------------------------------
@@ -62,9 +63,13 @@ class FaceEmbeddings:
     def _pipeline(self, image_f32, roi_abs):
         """[H,W,3] f32 + (5,) axis-aligned abs ROI -> L2-normalized
         embedding [D]."""
+        # the crop is axis-aligned, so the separable two-matmul path is
+        # exact wherever the Pallas kernel would be used
         tensor, _ = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
-            keep_aspect_ratio=False, output_range=(0.0, 1.0))
+            keep_aspect_ratio=False, output_range=(0.0, 1.0),
+            method=("separable" if self._warp == "pallas"
+                    else self._warp))
         (raw,) = self._net(tensor[None])
         flat = raw.reshape(-1)
         return flat / jnp.sqrt(jnp.sum(jnp.square(flat)))

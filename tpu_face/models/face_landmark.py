@@ -106,7 +106,7 @@ class FaceLandmark:
     threshold, reference face_landmark.rs:292-296)."""
 
     def __init__(self, model_path: Optional[str] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, warp_method: str = "auto"):
         base = Path(model_path) if model_path else _DATA_DIR
         npz = base / "face_landmark.npz"
         if not npz.exists():
@@ -116,6 +116,7 @@ class FaceLandmark:
         self.graph = Graph(npz)
         self._net = build_jax_fn(self.graph, compute_dtype=compute_dtype)
         _, self.in_h, self.in_w, _ = self.graph.input_shape
+        self._warp = image_ops.resolve_warp_method(warp_method)
         self._jitted = {}
 
     # ---- the fused device program -------------------------------------
@@ -131,7 +132,9 @@ class FaceLandmark:
         """
         tensor, padding = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
-            keep_aspect_ratio=False, output_range=(0.0, 1.0))
+            keep_aspect_ratio=False, output_range=(0.0, 1.0),
+            method=self._warp,
+            band=image_ops.auto_band(image_f32.shape[0], self.in_h))
         raw_mesh, raw_flag = self._net(tensor[None])
         score = jax.nn.sigmoid(raw_flag.reshape(()))
         landmarks = post.project_landmarks(

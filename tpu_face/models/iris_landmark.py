@@ -223,7 +223,7 @@ class IrisLandmark:
     (iris_landmark.rs:158-248)."""
 
     def __init__(self, model_path: Optional[str] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, warp_method: str = "auto"):
         base = Path(model_path) if model_path else _DATA_DIR
         npz = base / "iris_landmark.npz"
         if not npz.exists():
@@ -233,6 +233,7 @@ class IrisLandmark:
         self.graph = Graph(npz)
         self._net = build_jax_fn(self.graph, compute_dtype=compute_dtype)
         _, self.in_h, self.in_w, _ = self.graph.input_shape
+        self._warp = image_ops.resolve_warp_method(warp_method)
         self._jitted = {}
 
     # ---- the fused device program -------------------------------------
@@ -243,7 +244,8 @@ class IrisLandmark:
         tensor, padding = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=True, output_range=(0.0, 1.0),
-            flip_horizontal=flip)
+            flip_horizontal=flip, method=self._warp,
+            band=image_ops.auto_band(image_f32.shape[0], self.in_h))
         raw_contour, raw_iris = self._net(tensor[None])
         contour = post.project_landmarks(
             raw_contour.reshape(-1), (self.in_w, self.in_h), image_size,

@@ -71,7 +71,7 @@ def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
     w_i = jnp.trunc(roi_w)
     h_i = jnp.trunc(roi_h)
 
-    cond = out_aspect > roi_aspect
+    cond = jnp.asarray(out_aspect > roi_aspect)
     pad_y = jnp.where(cond, (1.0 - roi_aspect / out_aspect) / 2.0, 0.0)
     pad_x = jnp.where(cond, 0.0, (1.0 - out_aspect / roi_aspect) / 2.0)
     new_h = jnp.where(cond, jnp.trunc(roi_w * out_aspect), h_i)
@@ -86,7 +86,8 @@ def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
     # exact (products < 2^24 are representable).
     pv_exact = (new_h - (new_h * roi_h) / (roi_w * out_aspect)) / 2.0
     ph_exact = (new_w - (new_w * out_aspect * roi_w) / roi_h) / 2.0
-    ph = jnp.where(changed & ~cond, jnp.trunc(ph_exact), 0.0)
+    ph = jnp.where(changed & jnp.logical_not(cond),
+                   jnp.trunc(ph_exact), 0.0)
     pv = jnp.where(changed & cond, jnp.trunc(pv_exact), 0.0)
     return pad_x, pad_y, ph, pv
 
@@ -283,6 +284,23 @@ def warp_image_to_tensor(image: jnp.ndarray,
     else:
         out = bilinear_sample(img, src_x, src_y)
     return _normalize_pixels(out, output_range, quantize_uint8), padding
+
+
+def resolve_warp_method(method: str = "auto") -> str:
+    """Map "auto" to the platform's fast exact path: the Pallas MXU
+    kernel on TPU, the XLA gather elsewhere."""
+    if method != "auto":
+        return method
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "gather"
+
+
+def auto_band(image_h: int, out_h: int, minimum: int = 48) -> int:
+    """Vertical source band sized so the whole-image warp (the largest
+    rotation-free ROI a model sees) fits exactly: 8 output rows span
+    8*H/Ho source rows, plus rotation/alignment margin."""
+    need = int(8 * image_h / out_h) + 24
+    return max(minimum, -(-need // 8) * 8)
 
 
 def whole_image_roi(image_size: Tuple[int, int]) -> jnp.ndarray:
