@@ -119,6 +119,12 @@ class FaceDetection:
             self._jitted[key] = jax.jit(self._pipeline)
         return self._jitted[key]
 
+    def _get_jitted_batch(self, h, w):
+        key = ("batch", h, w)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(jax.vmap(self._pipeline))
+        return self._jitted[key]
+
     # ---- host API ------------------------------------------------------
 
     def infer(self, image, roi: Optional[Rect] = None) -> List[Detection]:
@@ -136,3 +142,20 @@ class FaceDetection:
                                np.asarray(out_v))
         return [Detection(out_d[i], out_s[i])
                 for i in range(out_v.shape[0]) if out_v[i]]
+
+    def infer_batch(self, images) -> List[List[Detection]]:
+        """Batched detection: [B, H, W, 3] uint8/float array of
+        same-sized RGB images -> per-image detection lists.  The whole
+        batch runs as one vmapped XLA program (a capability the
+        single-image reference lacks)."""
+        images = np.asarray(images)
+        b, h, w = images.shape[:3]
+        rois = np.broadcast_to(
+            np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32), (b, 5))
+        out_d, out_s, out_v = self._get_jitted_batch(h, w)(
+            jnp.asarray(images), jnp.asarray(np.ascontiguousarray(rois)))
+        out_d, out_s, out_v = (np.asarray(out_d), np.asarray(out_s),
+                               np.asarray(out_v))
+        return [[Detection(out_d[i, j], out_s[i, j])
+                 for j in range(out_v.shape[1]) if out_v[i, j]]
+                for i in range(b)]

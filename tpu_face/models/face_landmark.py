@@ -100,6 +100,14 @@ def face_landmarks_to_render_data(face_landmarks, landmark_color,
         thickness=thickness, normalized_positions=True, output=output)
 
 
+def _rect_to_abs(roi: Optional[Rect], w: int, h: int) -> np.ndarray:
+    if roi is None:
+        return np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32)
+    r = roi.scaled((float(w), float(h)), normalize=False)
+    return np.array([r.x_center, r.y_center, r.width, r.height,
+                     r.rotation], np.float32)
+
+
 class FaceLandmark:
     """468-point face mesh. ``infer(image, roi)`` returns normalized
     ``Landmark`` objects (empty list when the presence score is below
@@ -166,3 +174,21 @@ class FaceLandmark:
             return []
         lmk = np.asarray(lmk)
         return [Landmark(float(x), float(y), float(z)) for x, y, z in lmk]
+
+    def infer_batch(self, images, rois):
+        """Batched mesh: [B, H, W, 3] images + B normalized ``Rect``
+        ROIs -> (landmarks [B, 468, 3] np.ndarray, presence [B]).
+        Low-presence entries are NOT filtered (check ``presence``
+        against the 0.5 threshold)."""
+        import jax as _jax
+        images = np.asarray(images)
+        b, h, w = images.shape[:3]
+        roi_abs = np.stack([
+            _rect_to_abs(r, w, h) for r in rois]).astype(np.float32)
+        key = ("batch", h, w)
+        if key not in self._jitted:
+            self._jitted[key] = _jax.jit(_jax.vmap(
+                partial(self._pipeline, image_size=(w, h))))
+        lmk, score = self._jitted[key](jnp.asarray(images),
+                                       jnp.asarray(roi_abs))
+        return np.asarray(lmk), np.asarray(score)

@@ -279,3 +279,22 @@ class IrisLandmark:
         return IrisResults(
             [Landmark(float(x), float(y), float(z)) for x, y, z in contour],
             [Landmark(float(x), float(y), float(z)) for x, y, z in iris])
+
+    def infer_batch(self, images, rois, is_right_eye):
+        """Batched iris: [B, H, W, 3] images + B normalized ``Rect``
+        ROIs + B flip flags -> (contour [B, 71, 3], iris [B, 5, 3])
+        np.ndarrays."""
+        from .face_landmark import _rect_to_abs
+        images = np.asarray(images)
+        b, h, w = images.shape[:3]
+        roi_abs = np.stack([
+            _rect_to_abs(r, w, h) for r in rois]).astype(np.float32)
+        flips = np.asarray(is_right_eye, bool).reshape(b)
+        key = ("batch", h, w)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(jax.vmap(
+                partial(self._pipeline, image_size=(w, h))))
+        contour, iris = self._jitted[key](jnp.asarray(images),
+                                          jnp.asarray(roi_abs),
+                                          jnp.asarray(flips))
+        return np.asarray(contour), np.asarray(iris)
