@@ -97,3 +97,23 @@ def test_output_range_normalization():
         img, roi, (32, 32), keep_aspect_ratio=False,
         output_range=(-1.0, 1.0))
     np.testing.assert_allclose(np.asarray(out)[1:-1, 1:-1], 1.0, atol=1e-6)
+
+
+def test_image_to_tensor_host_api():
+    """Host-facing image_to_tensor mirrors the reference signature and
+    letterbox padding (reference transform.rs:188-309)."""
+    from tpu_face.ops.image import image_to_tensor
+    from tpu_face.types import ImageTensor
+
+    out = image_to_tensor("/root/reference/test_data/man.jpg",
+                          output_size=(128, 128),
+                          keep_aspect_ratio=True,
+                          output_range=(-1.0, 1.0))
+    assert isinstance(out, ImageTensor)
+    assert out.tensor_data.shape == (128, 128, 3)
+    assert out.original_size == (540, 360)
+    # BASELINE.md: 540x360 -> square pads 1/6 top+bottom
+    l, t, r, b = out.padding
+    assert l == 0.0 and r == 0.0
+    assert abs(t - 1.0 / 6.0) < 1e-6 and abs(b - 1.0 / 6.0) < 1e-6
+    assert -1.0 <= out.tensor_data.min() and out.tensor_data.max() <= 1.0

@@ -85,3 +85,44 @@ def test_mxu_vmap_batched_rois():
 
     diff = np.abs(np.asarray(one("mxu")) - np.asarray(one("gather")))
     assert diff.max() <= 1.0 / 255.0 + 1e-6
+
+
+def test_pallas_interpret_matches_gather():
+    """The Pallas kernel (interpreter mode on CPU) matches the exact
+    gather within one uint8 quantization level."""
+    img = jnp.asarray(load_image(MAN))
+    for roi_t, osz, keep, flip in [
+        ((265.2, 143.8, 209., 209., -0.0267), (192, 192), False, False),
+        ((234.5, 110.2, 57.2, 57.2, 0.0259), (64, 64), True, False),
+        ((290.6, 108.8, 56.8, 56.8, -0.1054), (64, 64), True, True),
+    ]:
+        roi = jnp.asarray(np.array(roi_t, np.float32))
+        ref, pr = image_ops.warp_image_to_tensor(
+            img, roi, osz, keep, (0., 1.), flip, method="gather")
+        out, pp = image_ops.warp_image_to_tensor(
+            img, roi, osz, keep, (0., 1.), flip, method="pallas",
+            band=48)
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(pr),
+                                   atol=1e-7)
+        d = np.abs(np.asarray(out) - np.asarray(ref))
+        assert d.max() <= 1.0 / 255.0 + 1e-6, (roi_t, d.max())
+
+
+def test_pallas_multi_segment():
+    """warp_sample_multi fuses several grids in one call; each segment
+    equals its standalone warp."""
+    from tpu_face.ops import pallas_warp
+    img = jnp.asarray(load_image(MAN)).astype(jnp.float32)
+    chw = img.transpose(2, 0, 1)
+    rois = [np.array([234.5, 110.2, 57.2, 57.2, 0.0259], np.float32),
+            np.array([290.6, 108.8, 56.8, 56.8, -0.1054], np.float32)]
+    coords = []
+    for roi, flip in zip(rois, (False, True)):
+        sx, sy, _ = image_ops._source_coords(
+            jnp.asarray(roi), (64, 64), True, flip)
+        coords.append((sx, sy))
+    fused = pallas_warp.warp_sample_multi(chw, coords, band=32)
+    for (sx, sy), got in zip(coords, fused):
+        want = pallas_warp.warp_sample(chw, sx, sy, band=32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)

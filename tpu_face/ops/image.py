@@ -272,6 +272,9 @@ def warp_image_to_tensor(image: jnp.ndarray,
     src_x, src_y, padding = _source_coords(roi_abs, out_size,
                                            keep_aspect_ratio,
                                            flip_horizontal)
+    if method == "pallas" and (out_size[0] % 32 or out_size[1] % 8):
+        # the kernel blocks outputs 8x32; odd sizes take the exact path
+        method = "gather"
     if method == "pallas":
         from . import pallas_warp
         chw = (image_chw if image_chw is not None
@@ -309,3 +312,36 @@ def whole_image_roi(image_size: Tuple[int, int]) -> jnp.ndarray:
     w, h = image_size
     return jnp.array([0.5 * w, 0.5 * h, float(w), float(h), 0.0],
                      dtype=jnp.float32)
+
+
+def image_to_tensor(image, roi=None, output_size: Optional[Tuple[int, int]]
+                    = None, keep_aspect_ratio: bool = False,
+                    output_range: Tuple[float, float] = (0.0, 1.0),
+                    flip_horizontal: bool = False):
+    """Host-facing ``image_to_tensor`` with the reference signature
+    (reference transform.rs:188-309): RGB image + optional normalized
+    ``Rect`` ROI -> ``ImageTensor`` (tensor, letterbox padding,
+    original size).  The models fuse this on device; this wrapper is
+    for users of the standalone preprocessing API.
+    """
+    import numpy as np
+
+    from ..types import ImageTensor, Rect
+    from ..utils.image_io import load_image
+
+    img = load_image(image)
+    h, w = img.shape[:2]
+    if roi is None:
+        roi = Rect(0.5, 0.5, 1.0, 1.0, 0.0, normalized=True)
+    r = roi.scaled((float(w), float(h)), normalize=False)
+    if output_size is None:
+        output_size = (int(r.width), int(r.height))
+    roi_abs = jnp.asarray(np.array(
+        [r.x_center, r.y_center, r.width, r.height, r.rotation],
+        np.float32))
+    tensor, padding = warp_image_to_tensor(
+        jnp.asarray(img), roi_abs, output_size, keep_aspect_ratio,
+        output_range, flip_horizontal)
+    pad = np.asarray(padding, dtype=np.float64)
+    return ImageTensor(np.asarray(tensor),
+                       (pad[0], pad[1], pad[2], pad[3]), (w, h))

@@ -8,14 +8,18 @@ pure weight traffic).  Inside the kernel the hat weights live only in
 VMEM/registers, the source window is a true dynamic slice (contiguous
 DMA, no gather), and the x-contraction rides the MXU.
 
-The output is processed in 8x`CW` pixel blocks.  For each block:
+The output is processed in 8x`CW` pixel blocks, `CB` blocks per grid
+step (one step per 8 output rows; finer grids pay too much per-step
+pipeline overhead, and predicated per-tile block counts measurably
+stall the pipeline — every grid step runs the same straight-line code).
+For each block:
 
-  ystart    = floor(min ys) aligned down to 8 rows     (sublane align)
-  xa        = floor(min xs) aligned down to 128 lanes  (lane align)
+  ystart    = floor(min ys) aligned down to 8 sublanes
+  xa        = floor(min xs) aligned down to 128 lanes
   strip256  = plane[ystart : ystart+band, xa : xa+256]  (dynamic slice)
   window    = roll(strip256, -(xmin - xa))[:, :128]     (lane roll)
   wx[k, p]  = hat(xmin + k - xs[p])                     (VPU, in VMEM)
-  t1        = window.T-free dot: [band, 128] @ [128, P] (MXU)
+  t1        = window @ wx: [band, 128] @ [128, P]       (MXU)
   out[p]    = sum_b hat(ystart + b - ys[p]) * t1[b, p]  (VPU reduce)
 
 This reproduces exactly the two-tap zero-border bilinear of
@@ -23,19 +27,20 @@ ops/image.py:bilinear_sample whenever the block's source extent fits the
 static windows:
 
   x: CW*|dx/du| + 8*|dx/dv| + 2 <= 126
-  y: 8*|dy/dv| + CW*|dy/du| + 2 <= band - 7
+  y: 8*|dy/dv| + CW*|dy/du| + 2 + 7 <= band
 
 (derivative magnitudes = roi_scale*cos/sin terms).  With CW=32 that
 admits ROI scales up to ~3.9x output size and rotations beyond +-0.4
 rad at typical scales — far outside the cascade's operating envelope;
-the XLA gather path remains the exact general fallback.  fp differences
-are dot-order only; with bf16 dots (uint8 pixels are exact in bf16) at
-most one uint8 quantization level.
+the XLA gather path remains the exact general fallback.  uint8 pixel
+values are exact in bfloat16, so bf16 MXU dots only round the hat
+weights (~2^-8 relative — at most one quantization level vs the
+gather).
 
-Grid is (T,) row-tiles per frame with the column blocks unrolled inside,
-and the image-plane block index is constant, so the frame stays resident
-in VMEM across all its tiles; jax.vmap batches the call by prepending a
-batch grid dimension.
+``warp_sample_multi`` samples SEVERAL same-width coordinate sets (e.g.
+the left and right iris crops) in ONE pallas_call so the frame's planes
+are fetched into VMEM once, not once per warp.  jax.vmap batches the
+call by prepending a batch grid dimension.
 """
 
 from functools import partial
@@ -47,6 +52,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_TILE = 8   # output rows per block (sublane granularity)
+CW = 32        # output columns per block
+PB = ROW_TILE * CW
 XWIN = 128     # working x-window (lanes)
 XLOAD = 2 * XWIN  # aligned load width before the roll
 
@@ -56,26 +63,25 @@ def _hat(t):
 
 
 def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
-                 band, dot_dtype, cw):
-    """One row-tile: CB column blocks of [ROW_TILE, cw] output pixels.
+                 band, dot_bf16):
+    """One row-tile of CB [ROW_TILE, CW] output blocks.
 
-    r/g/b_ref: [Hp, Wp] channel planes (padded);
+    r/g/b_ref: [Hp, Wp] f32 channel planes (padded);
     xs_ref/ys_ref: [1, CB, 1, PB] block-flattened coords;
-    out_ref: [1, 3, CB, PB].
+    out_ref: [1, 3, CB, PB] f32.
     """
     h = r_ref.shape[0]
     w = r_ref.shape[1]
     cb_count = xs_ref.shape[1]
-    pb = xs_ref.shape[3]
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, pb), 0
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, PB), 0
                                       ).astype(jnp.float32)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, PB), 0
                                       ).astype(jnp.float32)
 
     for cb in range(cb_count):
         xs = xs_ref[0, cb]                                # [1, PB]
-        ys = ys_ref[0, cb]                                # [1, PB]
+        ys = ys_ref[0, cb]
 
         ymin = jnp.floor(jnp.min(ys)).astype(jnp.int32)
         ystart = jnp.clip((ymin // 8) * 8, 0, h - band)
@@ -89,77 +95,104 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
 
         wx = _hat(iota_x + xmin.astype(jnp.float32) - xs)  # [XWIN, PB]
         wy = _hat(iota_y + ystart.astype(jnp.float32) - ys)  # [band, PB]
-        if dot_dtype is not None:
-            wx = wx.astype(dot_dtype)
+        if dot_bf16:
+            wx = wx.astype(jnp.bfloat16)
 
         for c, ref in enumerate((r_ref, g_ref, b_ref)):
             strip = ref[pl.ds(ystart, band), pl.ds(xa, XLOAD)]
             window = pltpu.roll(strip, -off, axis=1)[:, :XWIN]
-            if dot_dtype is not None:
-                window = window.astype(dot_dtype)
+            if dot_bf16:
+                window = window.astype(jnp.bfloat16)
             t1 = jnp.dot(window, wx,
-                         preferred_element_type=jnp.float32)  # [band, PB]
+                         preferred_element_type=jnp.float32)
             out_ref[0, c, cb, :] = jnp.sum(wy * t1, axis=0)
 
 
-def warp_sample(image_chw: jnp.ndarray, src_x: jnp.ndarray,
-                src_y: jnp.ndarray, band: int = 48,
-                dot_dtype=jnp.bfloat16, interpret: bool = False
-                ) -> jnp.ndarray:
-    """Bilinear-sample one frame on the TPU MXU (see module docstring).
+def _blocked(a, ho, wo):
+    """[Ho, Wo] -> [T, CB, 1, PB] block-row-major coordinate layout."""
+    t = ho // ROW_TILE
+    cb = wo // CW
+    return (a.reshape(t, ROW_TILE, cb, CW)
+            .transpose(0, 2, 1, 3)
+            .reshape(t, cb, 1, PB))
+
+
+def warp_sample_multi(image_chw: jnp.ndarray, coords, band: int = 48,
+                      dot_dtype=jnp.bfloat16, interpret: bool = False):
+    """Bilinear-sample several same-width output grids from one frame
+    in one pallas_call (single VMEM fetch of the planes).
 
     Args:
-      image_chw: [3, H, W] f32 source frame (channel-major planes).
-      src_x, src_y: [Ho, Wo] source coordinates.
+      image_chw: [3, H, W] float source frame (channel-major planes).
+      coords: list of (src_x, src_y) pairs, each [Ho_i, Wo] with
+        Ho_i % 8 == 0 and a SHARED Wo with Wo % 32 == 0 (each grid
+        step runs a fixed CB-block loop, so widths must agree; use
+        separate calls for different widths).
       band: static vertical source window (multiple of 8).
-      dot_dtype: matmul input dtype (None = full f32 dots).
+      dot_dtype: jnp.bfloat16 runs the MXU dots in bf16; None = f32.
       interpret: run in the Pallas interpreter (CPU testing).
 
-    Returns: [Ho, Wo, 3] f32 sampled pixels.
+    Returns: list of [Ho_i, Wo, 3] f32 sampled pixels.
     """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # CPU testing path
     _, h, w = image_chw.shape
-    ho, wo = src_x.shape
-    assert ho % ROW_TILE == 0, (ho, ROW_TILE)
-    cw = max(d for d in (32, 16, 8, 4, 2, 1) if wo % d == 0)
-    t = ho // ROW_TILE
-    cb = wo // cw
-    pb = ROW_TILE * cw
+    shapes = []
+    for src_x, _ in coords:
+        ho, wo = src_x.shape
+        assert ho % ROW_TILE == 0 and wo % CW == 0, (ho, wo)
+        shapes.append((ho, wo))
+    widths = {wo for _, wo in shapes}
+    assert len(widths) == 1, f"segment widths must agree, got {widths}"
+    cb = shapes[0][1] // CW
 
-    # pad planes so every aligned [band, XLOAD] window exists
+    xs = jnp.concatenate([_blocked(sx, ho, wo)
+                          for (sx, _), (ho, wo) in zip(coords, shapes)])
+    ys = jnp.concatenate([_blocked(sy, ho, wo)
+                          for (_, sy), (ho, wo) in zip(coords, shapes)])
+    t_total = xs.shape[0]
+
     hp = max(-(-h // 8) * 8, band)
     wp = max(-(-w // XWIN) * XWIN, XLOAD)
     band = min(band, hp)
     planes = jnp.pad(image_chw.astype(jnp.float32),
                      ((0, 0), (0, hp - h), (0, wp - w)))
 
-    # [Ho, Wo] -> [T, CB, 1, PB] block-row-major
-    def blocked(a):
-        return (a.reshape(t, ROW_TILE, cb, cw)
-                .transpose(0, 2, 1, 3)
-                .reshape(t, cb, 1, pb))
-
+    plane_spec = pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    coord_spec = pl.BlockSpec((1, cb, 1, PB), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_warp_kernel, band=band, dot_dtype=dot_dtype, cw=cw),
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((hp, wp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, wp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, wp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb, 1, pb), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb, 1, pb), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 3, cb, pb), lambda i: (i, 0, 0, 0),
+        partial(_warp_kernel, band=band,
+                dot_bf16=dot_dtype == jnp.bfloat16),
+        grid=(t_total,),
+        in_specs=[plane_spec, plane_spec, plane_spec, coord_spec,
+                  coord_spec],
+        out_specs=pl.BlockSpec((1, 3, cb, PB), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 3, cb, pb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_total, 3, cb, PB),
+                                       jnp.float32),
         interpret=interpret,
-    )(planes[0], planes[1], planes[2], blocked(src_x), blocked(src_y))
+    )(planes[0], planes[1], planes[2], xs, ys)
 
-    # [T, 3, CB, PB] -> [Ho, Wo, 3]
-    return (out.reshape(t, 3, cb, ROW_TILE, cw)
-            .transpose(0, 3, 2, 4, 1)
-            .reshape(ho, wo, 3))
+    # split segments; [T, 3, CB, PB] -> [Ho, Wo, 3]
+    results = []
+    start = 0
+    for ho, wo in shapes:
+        t = ho // ROW_TILE
+        seg = out[start:start + t]
+        start += t
+        results.append(seg.reshape(t, 3, cb, ROW_TILE, CW)
+                       .transpose(0, 3, 2, 4, 1)
+                       .reshape(ho, wo, 3))
+    return results
+
+
+def warp_sample(image_chw: jnp.ndarray, src_x: jnp.ndarray,
+                src_y: jnp.ndarray, band: int = 48,
+                dot_dtype=jnp.bfloat16, interpret: bool = False
+                ) -> jnp.ndarray:
+    """Single-grid convenience wrapper over ``warp_sample_multi``."""
+    (out,) = warp_sample_multi(image_chw, [(src_x, src_y)], band=band,
+                               dot_dtype=dot_dtype, interpret=interpret)
+    return out

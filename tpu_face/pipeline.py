@@ -197,17 +197,28 @@ class FaceCascade:
         right_roi = eye_roi(RIGHT_EYE_START, RIGHT_EYE_END)
 
         # Stage 5: iris x2, batched as (left, mirrored right)
-        # (iris_landmark.rs:158-248)
-        lt, lp = image_ops.warp_image_to_tensor(
-            img, left_roi, (self.iris_w, self.iris_h),
-            keep_aspect_ratio=True, output_range=(0.0, 1.0),
-            flip_horizontal=False, method=self._warp, band=32,
-            image_chw=img_chw)
-        rt, rp = image_ops.warp_image_to_tensor(
-            img, right_roi, (self.iris_w, self.iris_h),
-            keep_aspect_ratio=True, output_range=(0.0, 1.0),
-            flip_horizontal=True, method=self._warp, band=32,
-            image_chw=img_chw)
+        # (iris_landmark.rs:158-248).  On the Pallas path both eye
+        # crops sample in ONE kernel call (single VMEM fetch of the
+        # frame planes).
+        if self._warp == "pallas":
+            from .ops.pallas_warp import warp_sample_multi
+            lx, ly, lp = image_ops._source_coords(
+                left_roi, (self.iris_w, self.iris_h), True, False)
+            rx, ry, rp = image_ops._source_coords(
+                right_roi, (self.iris_w, self.iris_h), True, True)
+            lt_raw, rt_raw = warp_sample_multi(
+                img_chw, [(lx, ly), (rx, ry)], band=32)
+            lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0), True)
+            rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0), True)
+        else:
+            lt, lp = image_ops.warp_image_to_tensor(
+                img, left_roi, (self.iris_w, self.iris_h),
+                keep_aspect_ratio=True, output_range=(0.0, 1.0),
+                flip_horizontal=False, method=self._warp, band=32)
+            rt, rp = image_ops.warp_image_to_tensor(
+                img, right_roi, (self.iris_w, self.iris_h),
+                keep_aspect_ratio=True, output_range=(0.0, 1.0),
+                flip_horizontal=True, method=self._warp, band=32)
         raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
 
         def project_eye(raw, roi_abs, pad, flip):
