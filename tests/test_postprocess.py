@@ -5,6 +5,7 @@ reproduce the reference's sequential loop semantics (nms.rs:19-124)
 exactly, including the weighted-average merging and the loop-guard.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -129,3 +130,67 @@ def test_letterbox_removal():
     out = np.asarray(post.letterbox_removal(data, pad))
     np.testing.assert_allclose(out[0, 0], [0.5, 0.5], atol=1e-6)
     np.testing.assert_allclose(out[0, 1], [0.75, 0.75], atol=1e-6)
+
+
+def _weighted_nms_reference(data, scores, threshold):
+    """Direct python transcription of the reference's sequential
+    weighted NMS (nms.rs:56-124) for property testing."""
+    import numpy as np
+
+    def iou(a, b):
+        ixmin = max(a[0, 0], b[0, 0]); iymin = max(a[0, 1], b[0, 1])
+        ixmax = min(a[1, 0], b[1, 0]); iymax = min(a[1, 1], b[1, 1])
+        iw, ih = ixmax - ixmin, iymax - iymin
+        inter = iw * ih if (iw > 0 and ih > 0) else 0.0
+        area = lambda r: max(r[1, 0] - r[0, 0], 0) * max(r[1, 1] - r[0, 1], 0)
+        union = area(a) + area(b) - inter
+        return inter / union if union > 0 else 0.0
+
+    order = sorted(range(len(scores)), key=lambda i: -scores[i])
+    remaining = list(order)
+    out = []
+    while remaining:
+        top = remaining[0]
+        cand = [i for i in remaining if iou(data[top], data[i]) > threshold]
+        rest = [i for i in remaining if i not in cand]
+        if len(rest) == len(remaining):
+            break
+        merged = data[top].copy()
+        if cand:
+            w = np.array([scores[i] for i in cand])[:, None, None]
+            merged = (w * np.stack([data[i] for i in cand])).sum(0) / w.sum()
+        out.append((merged, scores[top]))
+        remaining = rest
+    return out
+
+
+def test_weighted_nms_matches_sequential_reference():
+    """The masked fixed-shape program reproduces the reference's
+    sequential weighted merge on random detection sets."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        n = 40
+        centers = rng.uniform(0.2, 0.8, (n, 2))
+        sizes = rng.uniform(0.05, 0.3, (n, 2))
+        data = np.zeros((n, 3, 2), np.float32)
+        data[:, 0] = centers - sizes / 2
+        data[:, 1] = centers + sizes / 2
+        data[:, 2] = centers  # one keypoint
+        scores = rng.uniform(0.5, 1.0, n).astype(np.float32)
+        valid = np.ones(n, bool)
+
+        want = _weighted_nms_reference(data.astype(np.float64), scores,
+                                       0.3)
+        got_d, got_s, got_v = post.weighted_nms(
+            jnp.asarray(data), jnp.asarray(scores), jnp.asarray(valid),
+            max_outputs=n, threshold=0.3)
+        got_d, got_s, got_v = (np.asarray(got_d), np.asarray(got_s),
+                               np.asarray(got_v))
+        n_valid = int(got_v.sum())
+        assert n_valid == len(want), (trial, n_valid, len(want))
+        for k, (md, ms) in enumerate(want):
+            assert got_v[k]
+            np.testing.assert_allclose(got_d[k], md, atol=1e-5)
+            assert abs(got_s[k] - ms) < 1e-6
