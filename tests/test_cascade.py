@@ -119,3 +119,13 @@ def test_cascade_multi_face_two_people():
     assert int(np.asarray(out.face_valid[0]).sum()) == 2
     # both meshes present
     assert bool(out.mesh_valid[0, 0]) and bool(out.mesh_valid[0, 1])
+
+
+def test_cascade_eye_roi_rotation_matches_standalone(result):
+    """Code-review regression: eye-ROI rotation must come from
+    NORMALIZED landmarks (iris_landmark.rs:274) — on the non-square
+    man.jpg an absolute-coordinate atan2 diverges."""
+    eyes = np.asarray(result.eye_rois[0])
+    # BASELINE.md: L rot 0.0259, R rot -0.1054
+    assert abs(eyes[0, 4] - 0.0259) < 8e-3, eyes[0]
+    assert abs(eyes[1, 4] - (-0.1054)) < 8e-3, eyes[1]

@@ -117,3 +117,19 @@ def test_image_to_tensor_host_api():
     assert l == 0.0 and r == 0.0
     assert abs(t - 1.0 / 6.0) < 1e-6 and abs(b - 1.0 / 6.0) < 1e-6
     assert -1.0 <= out.tensor_data.min() and out.tensor_data.max() <= 1.0
+
+
+def test_load_image_float_conventions():
+    """Code-review regression: float arrays must round+clip, not
+    truncate/wrap; [0,1]-scaled floats are scaled up."""
+    import numpy as np
+    from tpu_face.utils.image_io import load_image
+
+    u8 = np.full((4, 4, 3), 200, np.uint8)
+    f01 = u8.astype(np.float32) / 255.0
+    np.testing.assert_array_equal(load_image(f01), u8)
+    f255 = u8.astype(np.float64) + 0.4
+    np.testing.assert_array_equal(load_image(f255), u8)
+    wild = np.array([[[300.0, -5.0, 254.6]]])
+    np.testing.assert_array_equal(load_image(wild),
+                                  [[[255, 0, 255]]])

@@ -126,3 +126,42 @@ def test_pallas_multi_segment():
         want = pallas_warp.warp_sample(chw, sx, sy, band=32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
+
+
+def test_pallas_landscape_letterbox_band():
+    """Code-review regression: the whole-image letterbox warp on a
+    landscape frame spans max(W,H)/out_h source rows per tile; the
+    auto band must cover it (previously sized from H only)."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 255, (720, 1280, 3))
+                      .astype(np.uint8))
+    roi = jnp.asarray(np.array([640.0, 360.0, 1280.0, 720.0, 0.0],
+                               np.float32))
+    band = image_ops.auto_band(1280, 128)
+    ref, _ = image_ops.warp_image_to_tensor(
+        img, roi, (128, 128), True, (-1.0, 1.0), method="gather")
+    out, _ = image_ops.warp_image_to_tensor(
+        img, roi, (128, 128), True, (-1.0, 1.0), method="pallas",
+        band=band)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.max() <= 2.0 / 255.0 + 1e-6, d.max()
+
+
+def test_pallas_portrait_no_roll_wrap():
+    """Code-review regression: x-letterboxing maps columns beyond the
+    image width; the rolled window must read zero border, not pixels
+    wrapped from 256 px to the left."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.integers(1, 255, (200, 100, 3))
+                      .astype(np.uint8))
+    roi = jnp.asarray(np.array([50.0, 100.0, 100.0, 200.0, 0.0],
+                               np.float32))
+    ref, _ = image_ops.warp_image_to_tensor(
+        img, roi, (64, 64), True, (0.0, 1.0), method="gather")
+    out, _ = image_ops.warp_image_to_tensor(
+        img, roi, (64, 64), True, (0.0, 1.0), method="pallas", band=48)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.max() <= 1.0 / 255.0 + 1e-6, d.max()
+    # the letterbox bands must be zero (all pixels are >= 1 inside)
+    out = np.asarray(out)
+    assert out[:, :15].max() == 0.0 and out[:, -15:].max() == 0.0

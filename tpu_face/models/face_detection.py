@@ -102,7 +102,9 @@ class FaceDetection:
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=True, output_range=(-1.0, 1.0),
             method=self._warp,
-            band=image_ops.auto_band(image_f32.shape[0], self.in_h))
+            band=image_ops.auto_band(
+                max(image_f32.shape[0], image_f32.shape[1]),
+                self.in_h))
         raw_boxes, raw_scores = self._net(tensor[None])
         boxes = post.decode_boxes(raw_boxes[0], self.anchors,
                                   float(self.in_h))

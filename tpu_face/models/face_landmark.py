@@ -142,7 +142,9 @@ class FaceLandmark:
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=False, output_range=(0.0, 1.0),
             method=self._warp,
-            band=image_ops.auto_band(image_f32.shape[0], self.in_h))
+            band=image_ops.auto_band(
+                max(image_f32.shape[0], image_f32.shape[1]),
+                self.in_h))
         raw_mesh, raw_flag = self._net(tensor[None])
         score = jax.nn.sigmoid(raw_flag.reshape(()))
         landmarks = post.project_landmarks(

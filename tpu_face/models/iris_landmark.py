@@ -245,7 +245,9 @@ class IrisLandmark:
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=True, output_range=(0.0, 1.0),
             flip_horizontal=flip, method=self._warp,
-            band=image_ops.auto_band(image_f32.shape[0], self.in_h))
+            band=image_ops.auto_band(
+                max(image_f32.shape[0], image_f32.shape[1]),
+                self.in_h))
         raw_contour, raw_iris = self._net(tensor[None])
         contour = post.project_landmarks(
             raw_contour.reshape(-1), (self.in_w, self.in_h), image_size,

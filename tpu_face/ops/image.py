@@ -276,6 +276,16 @@ def warp_image_to_tensor(image: jnp.ndarray,
         # the kernel blocks outputs 8x32; odd sizes take the exact path
         method = "gather"
     if method == "pallas":
+        # the kernel keeps all three padded f32 planes resident in VMEM;
+        # beyond ~720p that exceeds the ~16 MB budget — fall back to the
+        # exact gather (slow but correct) until a strip-DMA variant
+        # lands.  3 planes * Hp * (Wp + 256) * 4B <= 12 MB.
+        h_, w_ = image.shape[0], image.shape[1]
+        plane_bytes = 3 * 4 * (-(-h_ // 8) * 8) * ((-(-w_ // 128) * 128)
+                                                   + 256)
+        if plane_bytes > 12 * 2**20:
+            method = "gather"
+    if method == "pallas":
         from . import pallas_warp
         chw = (image_chw if image_chw is not None
                else img.transpose(2, 0, 1))
@@ -298,11 +308,15 @@ def resolve_warp_method(method: str = "auto") -> str:
     return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
-def auto_band(image_h: int, out_h: int, minimum: int = 48) -> int:
+def auto_band(src_extent: int, out_h: int, minimum: int = 48) -> int:
     """Vertical source band sized so the whole-image warp (the largest
-    rotation-free ROI a model sees) fits exactly: 8 output rows span
-    8*H/Ho source rows, plus rotation/alignment margin."""
-    need = int(8 * image_h / out_h) + 24
+    rotation-free ROI a model sees) fits exactly.
+
+    ``src_extent`` must be the image's LONG side: with letterbox
+    preprocessing the content is scaled by max(W, H), so 8 output rows
+    span 8*max(W, H)/Ho source rows; margin covers the two interpolation
+    taps, sublane alignment and modest ROI rotation."""
+    need = int(8 * src_extent / out_h) + 24
     return max(minimum, -(-need // 8) * 8)
 
 

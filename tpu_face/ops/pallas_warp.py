@@ -93,7 +93,12 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
         xa = pl.multiple_of(xa, XWIN)
         off = xmin - xa
 
-        wx = _hat(iota_x + xmin.astype(jnp.float32) - xs)  # [XWIN, PB]
+        # tap validity (x < w) zeroes any tap beyond the true image
+        # width, so when the xa clip binds and the roll wraps padded
+        # columns onto real pixels the wrapped taps carry no weight —
+        # the zero-border semantics survive without extra padding
+        tap_x = iota_x + xmin.astype(jnp.float32)
+        wx = _hat(tap_x - xs) * (tap_x < w).astype(jnp.float32)
         wy = _hat(iota_y + ystart.astype(jnp.float32) - ys)  # [band, PB]
         if dot_bf16:
             wx = wx.astype(jnp.bfloat16)

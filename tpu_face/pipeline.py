@@ -72,7 +72,12 @@ def _bbox_to_roi_abs(xmin, ymin, xmax, ymax, kp0, kp1, scale, w, h):
     """Normalized bbox + two rotation keypoints -> ABS (5,) ROI.
 
     Square-long sizing (transform.rs:87-109) with rotation from the
-    keypoint pair (transform.rs:62-75), as both ROI derivations use."""
+    keypoint pair (transform.rs:62-75), as both ROI derivations use.
+    ``kp0``/``kp1`` must be in the same coordinate space the matching
+    reference derivation uses: ABSOLUTE pixels for the face ROI
+    (face_landmark.rs:181 scales the detection first), NORMALIZED for
+    the eye ROIs (iris_landmark.rs:274 uses raw mesh landmarks) — the
+    atan2 result differs between the two spaces on non-square images."""
     long_side = jnp.maximum((xmax - xmin) * w, (ymax - ymin) * h)
     rw = long_side * scale[0]
     rh = long_side * scale[1]
@@ -109,24 +114,29 @@ class FaceCascade:
         _, self.det_h, self.det_w, _ = det_graph.input_shape
         _, self.mesh_h, self.mesh_w, _ = mesh_graph.input_shape
         _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
-        if warp_method == "auto":
-            # per-pixel gathers serialize on TPU (~0.2 GB/s effective);
-            # the Pallas hat-matmul kernel rides the MXU instead.  On
-            # CPU the gather is the faster exact path.
-            warp_method = ("pallas" if jax.default_backend() == "tpu"
-                           else "gather")
-        self._warp = warp_method
+        self._warp = image_ops.resolve_warp_method(warp_method)
         self.max_faces = max_faces
         self._jitted = {}
 
     # ---- single-image program (vmapped over batch) ---------------------
 
+    def _warp_for(self, image_size):
+        """Per-geometry warp method: the Pallas kernel keeps the frame
+        planes resident in VMEM, so beyond ~720p fall back to the exact
+        gather (see ops/image.py)."""
+        if self._warp != "pallas":
+            return self._warp
+        w, h = image_size
+        plane_bytes = 3 * 4 * (-(-h // 8) * 8) * ((-(-w // 128) * 128)
+                                                  + 256)
+        return "pallas" if plane_bytes <= 12 * 2**20 else "gather"
+
     def _single(self, image, image_size):
         w, h = image_size
         img = image.astype(jnp.float32)
+        warp = self._warp_for(image_size)
         # one channel-major copy shared by every Pallas warp in the frame
-        img_chw = (img.transpose(2, 0, 1) if self._warp == "pallas"
-                   else None)
+        img_chw = img.transpose(2, 0, 1) if warp == "pallas" else None
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
@@ -135,8 +145,8 @@ class FaceCascade:
         tensor, padding = image_ops.warp_image_to_tensor(
             img, whole, (self.det_w, self.det_h),
             keep_aspect_ratio=True, output_range=(-1.0, 1.0),
-            method=("separable" if self._warp in ("mxu", "pallas")
-                    else self._warp))
+            method=("separable" if warp in ("mxu", "pallas")
+                    else warp))
         raw_boxes, raw_scores = self._det_net(tensor[None])
         boxes = post.decode_boxes(raw_boxes[0], self.anchors,
                                   float(self.det_h))
@@ -148,17 +158,30 @@ class FaceCascade:
 
         if self.max_faces == 1:
             return self._face_stages(img, img_chw, dets[0], out_s[0],
-                                     out_v[0], image_size)
+                                     out_v[0], image_size, warp)
         return jax.vmap(
             lambda d, s, v: self._face_stages(img, img_chw, d, s, v,
-                                              image_size))(dets, out_s,
-                                                           out_v)
+                                              image_size, warp))(
+                                                  dets, out_s, out_v)
+
+    @staticmethod
+    def _bands(image_size):
+        """Static warp band sizes scaled to the frame: faces (and so
+        ROIs) grow with the frame, and the band must cover
+        8*roi_h/out_h source rows per tile plus rotation shear."""
+        maxdim = max(image_size)
+
+        def clamp8(v, lo):
+            return min(128, max(lo, -(-v // 8) * 8))
+
+        return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
 
     def _face_stages(self, img, img_chw, det, score, face_valid,
-                     image_size):
+                     image_size, warp):
         """Stages 2-6 for one detected face (vmapped when
         ``max_faces > 1``)."""
         w, h = image_size
+        mesh_band, iris_band = self._bands(image_size)
 
         # Stage 2: face ROI (face_landmark.rs:180-198); keypoint rows
         # 2 (left eye) and 3 (right eye), scale 1.5, square-long.
@@ -167,21 +190,21 @@ class FaceCascade:
             det[2] * jnp.array([w, h]), det[3] * jnp.array([w, h]),
             MESH_ROI_SCALE, w, h)
 
-        # Stage 3: face mesh (face_landmark.rs:232-305).  band=64 covers
-        # |rotation| up to ~0.27 rad at typical face-ROI scale; the
-        # standalone FaceLandmark model remains the exact path for
-        # extreme geometry.
+        # Stage 3: face mesh (face_landmark.rs:232-305); the standalone
+        # FaceLandmark model remains the exact path for extreme
+        # geometry beyond the band envelope.
         mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
             img, face_roi_abs, (self.mesh_w, self.mesh_h),
             keep_aspect_ratio=False, output_range=(0.0, 1.0),
-            method=self._warp, band=64, image_chw=img_chw)
+            method=warp, band=mesh_band, image_chw=img_chw)
         raw_mesh, raw_flag = self._mesh_net(mesh_tensor[None])
         mesh_score = jax.nn.sigmoid(raw_flag.reshape(()))
         mesh = post.project_landmarks(
             raw_mesh.reshape(-1), (self.mesh_w, self.mesh_h), image_size,
             mesh_pad, face_roi_abs)  # [468, 3] normalized
 
-        # Stage 4: eye ROIs (iris_landmark.rs:268-292)
+        # Stage 4: eye ROIs (iris_landmark.rs:268-292); rotation from
+        # NORMALIZED landmark coordinates, as the reference computes it
         def eye_roi(i0, i1):
             p0, p1 = mesh[i0], mesh[i1]
             xmin = jnp.minimum(p0[0], p1[0])
@@ -189,8 +212,7 @@ class FaceCascade:
             ymin = jnp.minimum(p0[1], p1[1])
             ymax = jnp.maximum(p0[1], p1[1])
             return _bbox_to_roi_abs(xmin, ymin, xmax, ymax,
-                                    p0[:2] * jnp.array([w, h]),
-                                    p1[:2] * jnp.array([w, h]),
+                                    p0[:2], p1[:2],
                                     IRIS_ROI_SCALE, w, h)
 
         left_roi = eye_roi(LEFT_EYE_START, LEFT_EYE_END)
@@ -200,25 +222,25 @@ class FaceCascade:
         # (iris_landmark.rs:158-248).  On the Pallas path both eye
         # crops sample in ONE kernel call (single VMEM fetch of the
         # frame planes).
-        if self._warp == "pallas":
+        if warp == "pallas":
             from .ops.pallas_warp import warp_sample_multi
             lx, ly, lp = image_ops._source_coords(
                 left_roi, (self.iris_w, self.iris_h), True, False)
             rx, ry, rp = image_ops._source_coords(
                 right_roi, (self.iris_w, self.iris_h), True, True)
             lt_raw, rt_raw = warp_sample_multi(
-                img_chw, [(lx, ly), (rx, ry)], band=32)
+                img_chw, [(lx, ly), (rx, ry)], band=iris_band)
             lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0), True)
             rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0), True)
         else:
             lt, lp = image_ops.warp_image_to_tensor(
                 img, left_roi, (self.iris_w, self.iris_h),
                 keep_aspect_ratio=True, output_range=(0.0, 1.0),
-                flip_horizontal=False, method=self._warp, band=32)
+                flip_horizontal=False, method=warp, band=iris_band)
             rt, rp = image_ops.warp_image_to_tensor(
                 img, right_roi, (self.iris_w, self.iris_h),
                 keep_aspect_ratio=True, output_range=(0.0, 1.0),
-                flip_horizontal=True, method=self._warp, band=32)
+                flip_horizontal=True, method=warp, band=iris_band)
         raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
 
         def project_eye(raw, roi_abs, pad, flip):

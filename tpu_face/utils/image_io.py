@@ -20,7 +20,16 @@ def load_image(src) -> np.ndarray:
     if isinstance(src, np.ndarray):
         if src.ndim != 3 or src.shape[-1] != 3:
             raise ValueError(f"expected [H,W,3] image, got {src.shape}")
-        return src.astype(np.uint8) if src.dtype != np.uint8 else src
+        if src.dtype == np.uint8:
+            return src
+        if np.issubdtype(src.dtype, np.floating):
+            # accept both float conventions: [0, 1] (scaled up) and
+            # [0, 255]; round+clip rather than truncate/wrap
+            arr = np.asarray(src, dtype=np.float64)
+            if arr.size and arr.max() <= 1.0:
+                arr = arr * 255.0
+            return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+        return np.clip(src, 0, 255).astype(np.uint8)
     from PIL import Image
     if isinstance(src, (str, Path)):
         img = Image.open(src)
