@@ -244,8 +244,7 @@ def warp_image_to_tensor(image: jnp.ndarray,
                          quantize_uint8: bool = True,
                          method: str = "gather",
                          band: int = 32,
-                         precision=None,
-                         image_chw: Optional[jnp.ndarray] = None):
+                         precision=None):
     """The fused ``image_to_tensor``: one resampling pass + one fma.
 
     Args:
@@ -287,9 +286,7 @@ def warp_image_to_tensor(image: jnp.ndarray,
             method = "gather"
     if method == "pallas":
         from . import pallas_warp
-        chw = (image_chw if image_chw is not None
-               else img.transpose(2, 0, 1))
-        out = pallas_warp.warp_sample(chw, src_x, src_y, band=band)
+        out = pallas_warp.warp_sample(img, src_x, src_y, band=band)
     elif method == "mxu":
         out = mxu_sample(img, src_x, src_y, band=band, precision=precision)
     elif method == "separable":

@@ -122,13 +122,27 @@ def _blocked(a, ho, wo):
             .reshape(t, cb, 1, PB))
 
 
-def warp_sample_multi(image_chw: jnp.ndarray, coords, band: int = 48,
-                      dot_dtype=jnp.bfloat16, interpret: bool = False):
+def make_planes(image_hwc: jnp.ndarray, band: int = 48):
+    """Padded f32 channel planes for ``warp_sample_multi``: one fused
+    pad+convert per channel.  Build ONCE per frame and share across
+    every warp call of the frame (the tap-validity mask in the kernel
+    works off the padded width, so planes carry no extra metadata)."""
+    h, w, _ = image_hwc.shape
+    hp = max(-(-h // 8) * 8, band)
+    wp = max(-(-w // XWIN) * XWIN, XLOAD)
+    return [jnp.pad(image_hwc[..., c].astype(jnp.float32),
+                    ((0, hp - h), (0, wp - w))) for c in range(3)]
+
+
+def warp_sample_multi(image_hwc, coords, band: int = 48,
+                      dot_dtype=jnp.bfloat16, interpret: bool = False,
+                      planes=None):
     """Bilinear-sample several same-width output grids from one frame
     in one pallas_call (single VMEM fetch of the planes).
 
     Args:
-      image_chw: [3, H, W] float source frame (channel-major planes).
+      image_hwc: [H, W, 3] float source frame (may be None when
+        ``planes`` is given).
       coords: list of (src_x, src_y) pairs, each [Ho_i, Wo] with
         Ho_i % 8 == 0 and a SHARED Wo with Wo % 32 == 0 (each grid
         step runs a fixed CB-block loop, so widths must agree; use
@@ -136,12 +150,13 @@ def warp_sample_multi(image_chw: jnp.ndarray, coords, band: int = 48,
       band: static vertical source window (multiple of 8).
       dot_dtype: jnp.bfloat16 runs the MXU dots in bf16; None = f32.
       interpret: run in the Pallas interpreter (CPU testing).
+      planes: optional pre-built ``make_planes`` output, shared across
+        calls on the same frame.
 
     Returns: list of [Ho_i, Wo, 3] f32 sampled pixels.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # CPU testing path
-    _, h, w = image_chw.shape
     shapes = []
     for src_x, _ in coords:
         ho, wo = src_x.shape
@@ -157,11 +172,10 @@ def warp_sample_multi(image_chw: jnp.ndarray, coords, band: int = 48,
                           for (_, sy), (ho, wo) in zip(coords, shapes)])
     t_total = xs.shape[0]
 
-    hp = max(-(-h // 8) * 8, band)
-    wp = max(-(-w // XWIN) * XWIN, XLOAD)
+    if planes is None:
+        planes = make_planes(image_hwc, band)
+    hp, wp = planes[0].shape
     band = min(band, hp)
-    planes = jnp.pad(image_chw.astype(jnp.float32),
-                     ((0, 0), (0, hp - h), (0, wp - w)))
 
     plane_spec = pl.BlockSpec((hp, wp), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -178,7 +192,7 @@ def warp_sample_multi(image_chw: jnp.ndarray, coords, band: int = 48,
         out_shape=jax.ShapeDtypeStruct((t_total, 3, cb, PB),
                                        jnp.float32),
         interpret=interpret,
-    )(planes[0], planes[1], planes[2], xs, ys)
+    )(*planes, xs, ys)
 
     # split segments; [T, 3, CB, PB] -> [Ho, Wo, 3]
     results = []
@@ -193,11 +207,11 @@ def warp_sample_multi(image_chw: jnp.ndarray, coords, band: int = 48,
     return results
 
 
-def warp_sample(image_chw: jnp.ndarray, src_x: jnp.ndarray,
+def warp_sample(image_hwc: jnp.ndarray, src_x: jnp.ndarray,
                 src_y: jnp.ndarray, band: int = 48,
                 dot_dtype=jnp.bfloat16, interpret: bool = False
                 ) -> jnp.ndarray:
     """Single-grid convenience wrapper over ``warp_sample_multi``."""
-    (out,) = warp_sample_multi(image_chw, [(src_x, src_y)], band=band,
+    (out,) = warp_sample_multi(image_hwc, [(src_x, src_y)], band=band,
                                dot_dtype=dot_dtype, interpret=interpret)
     return out

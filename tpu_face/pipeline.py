@@ -135,8 +135,12 @@ class FaceCascade:
         w, h = image_size
         img = image.astype(jnp.float32)
         warp = self._warp_for(image_size)
-        # one channel-major copy shared by every Pallas warp in the frame
-        img_chw = img.transpose(2, 0, 1) if warp == "pallas" else None
+        # padded channel planes built ONCE per frame, shared by every
+        # Pallas warp of the frame (mesh + both irises)
+        planes = None
+        if warp == "pallas":
+            from .ops.pallas_warp import make_planes
+            planes = make_planes(image, *self._bands(image_size)[:1])
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
@@ -157,10 +161,10 @@ class FaceCascade:
         dets = post.letterbox_removal(out_d, padding)  # [N, 8, 2]
 
         if self.max_faces == 1:
-            return self._face_stages(img, img_chw, dets[0], out_s[0],
+            return self._face_stages(img, planes, dets[0], out_s[0],
                                      out_v[0], image_size, warp)
         return jax.vmap(
-            lambda d, s, v: self._face_stages(img, img_chw, d, s, v,
+            lambda d, s, v: self._face_stages(img, planes, d, s, v,
                                               image_size, warp))(
                                                   dets, out_s, out_v)
 
@@ -176,7 +180,7 @@ class FaceCascade:
 
         return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
 
-    def _face_stages(self, img, img_chw, det, score, face_valid,
+    def _face_stages(self, img, planes, det, score, face_valid,
                      image_size, warp):
         """Stages 2-6 for one detected face (vmapped when
         ``max_faces > 1``)."""
@@ -193,10 +197,19 @@ class FaceCascade:
         # Stage 3: face mesh (face_landmark.rs:232-305); the standalone
         # FaceLandmark model remains the exact path for extreme
         # geometry beyond the band envelope.
-        mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
-            img, face_roi_abs, (self.mesh_w, self.mesh_h),
-            keep_aspect_ratio=False, output_range=(0.0, 1.0),
-            method=warp, band=mesh_band, image_chw=img_chw)
+        if warp == "pallas":
+            from .ops.pallas_warp import warp_sample_multi
+            mx, my, mesh_pad = image_ops._source_coords(
+                face_roi_abs, (self.mesh_w, self.mesh_h), False, False)
+            (mesh_raw,) = warp_sample_multi(
+                None, [(mx, my)], band=mesh_band, planes=planes)
+            mesh_tensor = image_ops._normalize_pixels(
+                mesh_raw, (0.0, 1.0), True)
+        else:
+            mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
+                img, face_roi_abs, (self.mesh_w, self.mesh_h),
+                keep_aspect_ratio=False, output_range=(0.0, 1.0),
+                method=warp, band=mesh_band)
         raw_mesh, raw_flag = self._mesh_net(mesh_tensor[None])
         mesh_score = jax.nn.sigmoid(raw_flag.reshape(()))
         mesh = post.project_landmarks(
@@ -229,7 +242,8 @@ class FaceCascade:
             rx, ry, rp = image_ops._source_coords(
                 right_roi, (self.iris_w, self.iris_h), True, True)
             lt_raw, rt_raw = warp_sample_multi(
-                img_chw, [(lx, ly), (rx, ry)], band=iris_band)
+                None, [(lx, ly), (rx, ry)], band=iris_band,
+                planes=planes)
             lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0), True)
             rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0), True)
         else:
