@@ -129,3 +129,16 @@ def test_cascade_eye_roi_rotation_matches_standalone(result):
     # BASELINE.md: L rot 0.0259, R rot -0.1054
     assert abs(eyes[0, 4] - 0.0259) < 8e-3, eyes[0]
     assert abs(eyes[1, 4] - (-0.1054)) < 8e-3, eyes[1]
+
+
+def test_cascade_bf16_within_budget():
+    """bf16 compute path stays within the 1 px landmark budget on the
+    CPU backend too."""
+    import jax.numpy as jnp
+    out = FaceCascade(compute_dtype=jnp.bfloat16).infer_batch(
+        load_image(MAN)[None])
+    assert bool(out.mesh_valid[0])
+    mesh = np.asarray(out.mesh_raw[0])
+    w, h = IMG_SIZE
+    assert abs(mesh[1, 0] * w - 263.85) <= 1.0
+    assert abs(mesh[1, 1] * h - 143.37) <= 1.0

@@ -194,3 +194,38 @@ def test_weighted_nms_matches_sequential_reference():
             assert got_v[k]
             np.testing.assert_allclose(got_d[k], md, atol=1e-5)
             assert abs(got_s[k] - ms) < 1e-6
+
+
+def test_plain_nms_matches_sequential_reference():
+    """Greedy (non-weighted) NMS vs a direct transcription of
+    nms.rs:19-53."""
+    rng = np.random.default_rng(7)
+    n = 30
+    centers = rng.uniform(0.2, 0.8, (n, 2))
+    sizes = rng.uniform(0.05, 0.3, (n, 2))
+    data = np.zeros((n, 2, 2), np.float32)
+    data[:, 0] = centers - sizes / 2
+    data[:, 1] = centers + sizes / 2
+    scores = rng.uniform(0.5, 1.0, n).astype(np.float32)
+
+    def iou(a, b):
+        ixmin = max(a[0, 0], b[0, 0]); iymin = max(a[0, 1], b[0, 1])
+        ixmax = min(a[1, 0], b[1, 0]); iymax = min(a[1, 1], b[1, 1])
+        iw, ih = ixmax - ixmin, iymax - iymin
+        inter = iw * ih if (iw > 0 and ih > 0) else 0.0
+        area = lambda r: (r[1, 0] - r[0, 0]) * (r[1, 1] - r[0, 1])
+        union = area(a) + area(b) - inter
+        return inter / union if union > 0 else 0.0
+
+    order = sorted(range(n), key=lambda i: -scores[i])
+    kept = []
+    for i in order:
+        if all(iou(data[i], data[j]) <= 0.3 for j in kept):
+            kept.append(i)
+
+    got_d, got_s, got_v = post.plain_nms(
+        jnp.asarray(data), jnp.asarray(scores),
+        jnp.asarray(np.ones(n, bool)), max_outputs=n, threshold=0.3)
+    got_s = np.asarray(got_s)[np.asarray(got_v)]
+    want_s = np.sort(scores[kept])[::-1]
+    np.testing.assert_allclose(np.sort(got_s)[::-1], want_s, atol=1e-7)
