@@ -112,8 +112,7 @@ def test_pallas_multi_segment():
     """warp_sample_multi fuses several grids in one call; each segment
     equals its standalone warp."""
     from tpu_face.ops import pallas_warp
-    img = jnp.asarray(load_image(MAN)).astype(jnp.float32)
-    chw = img.transpose(2, 0, 1)
+    img = jnp.asarray(load_image(MAN)).astype(jnp.float32)  # HWC
     rois = [np.array([234.5, 110.2, 57.2, 57.2, 0.0259], np.float32),
             np.array([290.6, 108.8, 56.8, 56.8, -0.1054], np.float32)]
     coords = []
@@ -121,30 +120,37 @@ def test_pallas_multi_segment():
         sx, sy, _ = image_ops._source_coords(
             jnp.asarray(roi), (64, 64), True, flip)
         coords.append((sx, sy))
-    fused = pallas_warp.warp_sample_multi(chw, coords, band=32)
+    fused = pallas_warp.warp_sample_multi(img, coords, band=32)
     for (sx, sy), got in zip(coords, fused):
-        want = pallas_warp.warp_sample(chw, sx, sy, band=32)
+        want = pallas_warp.warp_sample(img, sx, sy, band=32)
+        assert float(jnp.abs(got).max()) > 0.1  # really sampled pixels
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
 
 
 def test_pallas_landscape_letterbox_band():
     """Code-review regression: the whole-image letterbox warp on a
-    landscape frame spans max(W,H)/out_h source rows per tile; the
-    auto band must cover it (previously sized from H only)."""
+    landscape frame spans max(W,H)/out_h source rows per tile AND up to
+    max(W,H)/out_w source columns per 32-wide block; the auto band and
+    the cw selection must both cover it.  960x368 fits the VMEM budget,
+    so this genuinely exercises the kernel (1280x720 would silently
+    fall back to gather and test nothing)."""
+    from tpu_face.ops import pallas_warp
+    assert pallas_warp.planes_fit_vmem(368, 960)
     rng = np.random.default_rng(1)
-    img = jnp.asarray(rng.integers(0, 255, (720, 1280, 3))
+    img = jnp.asarray(rng.integers(0, 255, (368, 960, 3))
                       .astype(np.uint8))
-    roi = jnp.asarray(np.array([640.0, 360.0, 1280.0, 720.0, 0.0],
+    roi = jnp.asarray(np.array([480.0, 184.0, 960.0, 368.0, 0.0],
                                np.float32))
-    band = image_ops.auto_band(1280, 128)
-    ref, _ = image_ops.warp_image_to_tensor(
-        img, roi, (128, 128), True, (-1.0, 1.0), method="gather")
-    out, _ = image_ops.warp_image_to_tensor(
-        img, roi, (128, 128), True, (-1.0, 1.0), method="pallas",
-        band=band)
-    d = np.abs(np.asarray(out) - np.asarray(ref))
-    assert d.max() <= 2.0 / 255.0 + 1e-6, d.max()
+    for out_size in [(128, 128), (256, 256)]:
+        band = image_ops.auto_band(960, out_size[1])
+        ref, _ = image_ops.warp_image_to_tensor(
+            img, roi, out_size, True, (-1.0, 1.0), method="gather")
+        out, _ = image_ops.warp_image_to_tensor(
+            img, roi, out_size, True, (-1.0, 1.0), method="pallas",
+            band=band)
+        d = np.abs(np.asarray(out) - np.asarray(ref))
+        assert d.max() <= 2.0 / 255.0 + 1e-6, (out_size, d.max())
 
 
 def test_pallas_portrait_no_roll_wrap():

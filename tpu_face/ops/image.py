@@ -271,22 +271,26 @@ def warp_image_to_tensor(image: jnp.ndarray,
     src_x, src_y, padding = _source_coords(roi_abs, out_size,
                                            keep_aspect_ratio,
                                            flip_horizontal)
-    if method == "pallas" and (out_size[0] % 32 or out_size[1] % 8):
-        # the kernel blocks outputs 8x32; odd sizes take the exact path
-        method = "gather"
     if method == "pallas":
-        # the kernel keeps all three padded f32 planes resident in VMEM;
-        # beyond ~720p that exceeds the ~16 MB budget — fall back to the
-        # exact gather (slow but correct) until a strip-DMA variant
-        # lands.  3 planes * Hp * (Wp + 256) * 4B <= 12 MB.
+        # Static feasibility gates, all falling back to the exact
+        # gather (slow but correct):
+        #   * the kernel keeps three padded f32 planes resident in VMEM
+        #     (beyond ~720p that exceeds the ~16 MB budget);
+        #   * the per-block x-extent must fit the 128-lane window, so
+        #     the column-block width shrinks with the worst-case
+        #     (whole-image) ROI-to-output scale and bows out entirely
+        #     for extreme downscales;
+        #   * output dims must tile 8 x cw.
+        from . import pallas_warp
         h_, w_ = image.shape[0], image.shape[1]
-        plane_bytes = 3 * 4 * (-(-h_ // 8) * 8) * ((-(-w_ // 128) * 128)
-                                                   + 256)
-        if plane_bytes > 12 * 2**20:
+        cw = pallas_warp.pick_cw(max(w_ / out_size[0],
+                                     h_ / out_size[1]))
+        if (not pallas_warp.planes_fit_vmem(h_, w_) or cw == 0
+                or out_size[0] % cw or out_size[1] % 8):
             method = "gather"
     if method == "pallas":
-        from . import pallas_warp
-        out = pallas_warp.warp_sample(img, src_x, src_y, band=band)
+        out = pallas_warp.warp_sample(img, src_x, src_y, band=band,
+                                      cw=cw)
     elif method == "mxu":
         out = mxu_sample(img, src_x, src_y, band=band, precision=precision)
     elif method == "separable":

@@ -52,10 +52,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_TILE = 8   # output rows per block (sublane granularity)
-CW = 32        # output columns per block
-PB = ROW_TILE * CW
 XWIN = 128     # working x-window (lanes)
 XLOAD = 2 * XWIN  # aligned load width before the roll
+
+
+def planes_fit_vmem(h: int, w: int, budget_bytes: int = 12 * 2**20
+                    ) -> bool:
+    """Whether three padded f32 planes fit the kernel VMEM residency
+    (single source of truth for the pallas/gather gate)."""
+    hp = -(-h // 8) * 8
+    wp = max(-(-w // XWIN) * XWIN, XLOAD)
+    return 3 * 4 * hp * wp <= budget_bytes
+
+
+def pick_cw(scale_x: float) -> int:
+    """Largest column-block width whose x-extent fits the 128-lane
+    window: cw * scale_x + margin <= 126.  Returns 0 when even cw=16
+    does not fit (caller should use the exact gather)."""
+    for cw in (32, 16):
+        if cw * scale_x + 10.0 <= 126.0:
+            return cw
+    return 0
 
 
 def _hat(t):
@@ -64,7 +81,7 @@ def _hat(t):
 
 def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
                  band, dot_bf16):
-    """One row-tile of CB [ROW_TILE, CW] output blocks.
+    """One row-tile of CB [ROW_TILE, cw] output blocks.
 
     r/g/b_ref: [Hp, Wp] f32 channel planes (padded);
     xs_ref/ys_ref: [1, CB, 1, PB] block-flattened coords;
@@ -73,10 +90,11 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
     h = r_ref.shape[0]
     w = r_ref.shape[1]
     cb_count = xs_ref.shape[1]
+    pb = xs_ref.shape[3]
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, PB), 0
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, pb), 0
                                       ).astype(jnp.float32)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, PB), 0
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
                                       ).astype(jnp.float32)
 
     for cb in range(cb_count):
@@ -113,13 +131,13 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
             out_ref[0, c, cb, :] = jnp.sum(wy * t1, axis=0)
 
 
-def _blocked(a, ho, wo):
+def _blocked(a, ho, wo, cw):
     """[Ho, Wo] -> [T, CB, 1, PB] block-row-major coordinate layout."""
     t = ho // ROW_TILE
-    cb = wo // CW
-    return (a.reshape(t, ROW_TILE, cb, CW)
+    cb = wo // cw
+    return (a.reshape(t, ROW_TILE, cb, cw)
             .transpose(0, 2, 1, 3)
-            .reshape(t, cb, 1, PB))
+            .reshape(t, cb, 1, ROW_TILE * cw))
 
 
 def make_planes(image_hwc: jnp.ndarray, band: int = 48):
@@ -136,7 +154,7 @@ def make_planes(image_hwc: jnp.ndarray, band: int = 48):
 
 def warp_sample_multi(image_hwc, coords, band: int = 48,
                       dot_dtype=jnp.bfloat16, interpret: bool = False,
-                      planes=None):
+                      planes=None, cw: int = 32):
     """Bilinear-sample several same-width output grids from one frame
     in one pallas_call (single VMEM fetch of the planes).
 
@@ -152,6 +170,9 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
       interpret: run in the Pallas interpreter (CPU testing).
       planes: optional pre-built ``make_planes`` output, shared across
         calls on the same frame.
+      cw: output columns per block (32 or 16); smaller cw halves the
+        per-block x-extent so larger ROI-to-output scales fit the
+        128-lane window (see pick_cw).
 
     Returns: list of [Ho_i, Wo, 3] f32 sampled pixels.
     """
@@ -160,15 +181,16 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
     shapes = []
     for src_x, _ in coords:
         ho, wo = src_x.shape
-        assert ho % ROW_TILE == 0 and wo % CW == 0, (ho, wo)
+        assert ho % ROW_TILE == 0 and wo % cw == 0, (ho, wo)
         shapes.append((ho, wo))
     widths = {wo for _, wo in shapes}
     assert len(widths) == 1, f"segment widths must agree, got {widths}"
-    cb = shapes[0][1] // CW
+    cb = shapes[0][1] // cw
+    pb = ROW_TILE * cw
 
-    xs = jnp.concatenate([_blocked(sx, ho, wo)
+    xs = jnp.concatenate([_blocked(sx, ho, wo, cw)
                           for (sx, _), (ho, wo) in zip(coords, shapes)])
-    ys = jnp.concatenate([_blocked(sy, ho, wo)
+    ys = jnp.concatenate([_blocked(sy, ho, wo, cw)
                           for (_, sy), (ho, wo) in zip(coords, shapes)])
     t_total = xs.shape[0]
 
@@ -179,7 +201,7 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
 
     plane_spec = pl.BlockSpec((hp, wp), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-    coord_spec = pl.BlockSpec((1, cb, 1, PB), lambda i: (i, 0, 0, 0),
+    coord_spec = pl.BlockSpec((1, cb, 1, pb), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_warp_kernel, band=band,
@@ -187,9 +209,9 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
         grid=(t_total,),
         in_specs=[plane_spec, plane_spec, plane_spec, coord_spec,
                   coord_spec],
-        out_specs=pl.BlockSpec((1, 3, cb, PB), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 3, cb, pb), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_total, 3, cb, PB),
+        out_shape=jax.ShapeDtypeStruct((t_total, 3, cb, pb),
                                        jnp.float32),
         interpret=interpret,
     )(*planes, xs, ys)
@@ -201,7 +223,7 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
         t = ho // ROW_TILE
         seg = out[start:start + t]
         start += t
-        results.append(seg.reshape(t, 3, cb, ROW_TILE, CW)
+        results.append(seg.reshape(t, 3, cb, ROW_TILE, cw)
                        .transpose(0, 3, 2, 4, 1)
                        .reshape(ho, wo, 3))
     return results
@@ -209,9 +231,10 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
 
 def warp_sample(image_hwc: jnp.ndarray, src_x: jnp.ndarray,
                 src_y: jnp.ndarray, band: int = 48,
-                dot_dtype=jnp.bfloat16, interpret: bool = False
-                ) -> jnp.ndarray:
+                dot_dtype=jnp.bfloat16, interpret: bool = False,
+                cw: int = 32) -> jnp.ndarray:
     """Single-grid convenience wrapper over ``warp_sample_multi``."""
     (out,) = warp_sample_multi(image_hwc, [(src_x, src_y)], band=band,
-                               dot_dtype=dot_dtype, interpret=interpret)
+                               dot_dtype=dot_dtype, interpret=interpret,
+                               cw=cw)
     return out

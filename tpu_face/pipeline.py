@@ -123,13 +123,12 @@ class FaceCascade:
     def _warp_for(self, image_size):
         """Per-geometry warp method: the Pallas kernel keeps the frame
         planes resident in VMEM, so beyond ~720p fall back to the exact
-        gather (see ops/image.py)."""
+        gather (see ops/pallas_warp.planes_fit_vmem)."""
         if self._warp != "pallas":
             return self._warp
+        from .ops.pallas_warp import planes_fit_vmem
         w, h = image_size
-        plane_bytes = 3 * 4 * (-(-h // 8) * 8) * ((-(-w // 128) * 128)
-                                                  + 256)
-        return "pallas" if plane_bytes <= 12 * 2**20 else "gather"
+        return "pallas" if planes_fit_vmem(h, w) else "gather"
 
     def _single(self, image, image_size):
         w, h = image_size
@@ -140,7 +139,8 @@ class FaceCascade:
         planes = None
         if warp == "pallas":
             from .ops.pallas_warp import make_planes
-            planes = make_planes(image, *self._bands(image_size)[:1])
+            # plane height must cover the LARGEST band any warp uses
+            planes = make_planes(image, band=max(self._bands(image_size)))
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two

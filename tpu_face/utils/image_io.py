@@ -23,9 +23,14 @@ def load_image(src) -> np.ndarray:
         if src.dtype == np.uint8:
             return src
         if np.issubdtype(src.dtype, np.floating):
-            # accept both float conventions: [0, 1] (scaled up) and
-            # [0, 255]; round+clip rather than truncate/wrap
+            # Accept both float conventions: [0, 1] (scaled up) and
+            # [0, 255]; round+clip rather than truncate/wrap.  This is
+            # a heuristic: an all-dark [0,255]-convention frame whose
+            # every value is <= 1.0 would be brightened — pass uint8
+            # (or pre-scale) to avoid ambiguity.
             arr = np.asarray(src, dtype=np.float64)
+            if not np.isfinite(arr).all():
+                raise ValueError("image contains NaN/Inf pixels")
             if arr.size and arr.max() <= 1.0:
                 arr = arr * 255.0
             return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
