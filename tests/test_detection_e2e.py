@@ -78,3 +78,26 @@ def test_detection_normalized_coordinates():
     assert 0.0 < b.xmin < b.xmax < 1.0
     assert 0.0 < b.ymin < b.ymax < 1.0
     assert faces[0].keypoint_count == 6
+
+
+def test_detection_with_roi():
+    """Explicit ROI narrows the search region (reference infer's roi
+    arg, face_detection.rs:205): a face-centered ROI still detects."""
+    from tpu_face.types import Rect
+    det = FaceDetection(FaceDetectionModel.BACK_CAMERA)
+    roi = Rect(0.49, 0.40, 0.6, 0.8, 0.0, normalized=True)
+    faces = det.infer(MAN, roi=roi)
+    assert len(faces) >= 1
+
+
+def test_detection_pallas_path_matches_gather():
+    """The TPU warp path (interpreter on CPU) for standalone SHORT
+    detection — regression for the x-window envelope bug (540-wide
+    frame at 128-out needs cw=16)."""
+    ref = FaceDetection(FaceDetectionModel.SHORT,
+                        warp_method="gather").infer(MAN)
+    out = FaceDetection(FaceDetectionModel.SHORT,
+                        warp_method="pallas").infer(MAN)
+    assert len(ref) == len(out) == 1
+    np.testing.assert_allclose(out[0].data, ref[0].data, atol=2e-3)
+    assert abs(out[0].score - ref[0].score) < 1e-2
