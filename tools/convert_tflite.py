@@ -178,6 +178,36 @@ def convert(model_path: str, out_path: str) -> dict:
         elif name == "ADD":
             o = _options(op, schema_fb.AddOptions)
             opts = {"activation": _ACT_NAMES[o.FusedActivationFunction()]}
+        elif name == "MUL":
+            o = _options(op, schema_fb.MulOptions)
+            opts = {"activation": _ACT_NAMES[o.FusedActivationFunction()]}
+        elif name == "SUB":
+            o = _options(op, schema_fb.SubOptions)
+            opts = {"activation": _ACT_NAMES[o.FusedActivationFunction()]}
+        elif name == "DIV":
+            o = _options(op, schema_fb.DivOptions)
+            opts = {"activation": _ACT_NAMES[o.FusedActivationFunction()]}
+        elif name == "FULLY_CONNECTED":
+            o = _options(op, schema_fb.FullyConnectedOptions)
+            assert o.WeightsFormat() == 0, "shuffled FC weights unsupported"
+            opts = {
+                "activation": _ACT_NAMES[o.FusedActivationFunction()],
+                "keep_num_dims": bool(o.KeepNumDims()),
+            }
+        elif name == "MEAN":
+            o = _options(op, schema_fb.ReducerOptions)
+            opts = {"keep_dims": bool(o.KeepDims())}
+        elif name == "SOFTMAX":
+            o = _options(op, schema_fb.SoftmaxOptions)
+            opts = {"beta": float(o.Beta())}
+        elif name == "AVERAGE_POOL_2D":
+            o = _options(op, schema_fb.Pool2DOptions)
+            opts = {
+                "stride": [o.StrideH(), o.StrideW()],
+                "filter": [o.FilterHeight(), o.FilterWidth()],
+                "padding": _PAD_NAMES[o.Padding()],
+                "activation": _ACT_NAMES[o.FusedActivationFunction()],
+            }
         elif name == "CONCATENATION":
             o = _options(op, schema_fb.ConcatenationOptions)
             opts = {"axis": o.Axis(),

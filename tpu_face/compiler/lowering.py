@@ -8,9 +8,13 @@ whole network compiles to a single TPU executable.  The lowered function is
 natively batched — every op in the supported set is batch-preserving, so the
 same traced graph serves any leading batch size.
 
-Supported op set (complete for the 7 bundled face models, SURVEY.md §2.3):
-CONV_2D, DEPTHWISE_CONV_2D, ADD, RELU, PRELU, MAX_POOL_2D, PAD, RESHAPE,
-CONCATENATION, RESIZE_BILINEAR, DEPTH_TO_SPACE, LOGISTIC.
+Supported op set (complete for the 7 bundled face models, SURVEY.md §2.3,
+plus the ArcFace-class embeddings op set — reference face_embeddings.rs
+runs a downloadable MobileFaceNet-family model):
+CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED, ADD, SUB, MUL, DIV, MINIMUM,
+MAXIMUM, RELU, PRELU, LOGISTIC, SOFTMAX, MAX_POOL_2D, AVERAGE_POOL_2D,
+MEAN, PAD, RESHAPE, CONCATENATION, RESIZE_BILINEAR, DEPTH_TO_SPACE,
+L2_NORMALIZATION, SQRT, RSQRT, NEG, EXP, TANH, HARD_SWISH.
 DEQUANTIZE/DENSIFY never reach the runtime (folded at conversion).
 """
 
@@ -170,9 +174,75 @@ def build_jax_fn(graph, param_dtype=jnp.float32, compute_dtype=jnp.float32):
                         xin, -jnp.inf, lax.max,
                         (1, fh, fw, 1), (1, sh, sw, 1), o["padding"])
                 env[outs[0]] = _act(y, o["activation"])
+            elif op == "AVERAGE_POOL_2D":
+                xin = get(ins[0])
+                fh, fw = o["filter"]
+                sh, sw = o["stride"]
+                n_, h_, w_, c_ = xin.shape
+                if (fh, fw) == (sh, sw) and h_ % fh == 0 and w_ % fw == 0:
+                    y = xin.reshape(n_, h_ // fh, fh, w_ // fw, fw, c_)
+                    y = y.mean(axis=(2, 4))
+                else:
+                    assert o["padding"] == "VALID", \
+                        "SAME avg-pool edge renorm not implemented"
+                    y = lax.reduce_window(
+                        xin, jnp.array(0, xin.dtype), lax.add,
+                        (1, fh, fw, 1), (1, sh, sw, 1),
+                        o["padding"]) / (fh * fw)
+                env[outs[0]] = _act(y, o["activation"])
+            elif op == "FULLY_CONNECTED":
+                xin = get(ins[0])
+                w = cast_param(get(ins[1]))  # [out, in]
+                din = w.shape[1]
+                if not o.get("keep_num_dims"):
+                    # TFLite flattens everything but the contraction dim
+                    xin = xin.reshape(-1, din)
+                y = jnp.dot(xin, w.T, precision=precision,
+                            preferred_element_type=compute_dtype)
+                if len(ins) > 2 and ins[2] >= 0:
+                    y = y + cast_param(get(ins[2]))
+                env[outs[0]] = _act(y, o["activation"])
             elif op == "ADD":
                 env[outs[0]] = _act(get(ins[0]) + get(ins[1]),
                                     o["activation"])
+            elif op == "SUB":
+                env[outs[0]] = _act(get(ins[0]) - get(ins[1]),
+                                    o["activation"])
+            elif op == "MUL":
+                env[outs[0]] = _act(get(ins[0]) * get(ins[1]),
+                                    o["activation"])
+            elif op == "DIV":
+                env[outs[0]] = _act(get(ins[0]) / get(ins[1]),
+                                    o["activation"])
+            elif op == "MINIMUM":
+                env[outs[0]] = jnp.minimum(get(ins[0]), get(ins[1]))
+            elif op == "MAXIMUM":
+                env[outs[0]] = jnp.maximum(get(ins[0]), get(ins[1]))
+            elif op == "MEAN":
+                axes = tuple(np.asarray(graph.consts[ins[1]])
+                             .reshape(-1).tolist())
+                env[outs[0]] = jnp.mean(get(ins[0]), axis=axes,
+                                        keepdims=o["keep_dims"])
+            elif op == "SOFTMAX":
+                env[outs[0]] = jax.nn.softmax(
+                    get(ins[0]) * o.get("beta", 1.0), axis=-1)
+            elif op == "L2_NORMALIZATION":
+                xin = get(ins[0])
+                sq = jnp.sum(jnp.square(xin), axis=-1, keepdims=True)
+                env[outs[0]] = xin * lax.rsqrt(jnp.maximum(sq, 1e-12))
+            elif op == "SQRT":
+                env[outs[0]] = jnp.sqrt(get(ins[0]))
+            elif op == "RSQRT":
+                env[outs[0]] = lax.rsqrt(get(ins[0]))
+            elif op == "NEG":
+                env[outs[0]] = -get(ins[0])
+            elif op == "EXP":
+                env[outs[0]] = jnp.exp(get(ins[0]))
+            elif op == "TANH":
+                env[outs[0]] = jnp.tanh(get(ins[0]))
+            elif op == "HARD_SWISH":
+                xin = get(ins[0])
+                env[outs[0]] = xin * jnp.clip(xin + 3.0, 0.0, 6.0) / 6.0
             elif op == "RELU":
                 env[outs[0]] = jnp.maximum(get(ins[0]), 0.0)
             elif op == "PRELU":
