@@ -76,7 +76,8 @@ class FaceDetection:
                  model_path: Optional[str] = None,
                  max_faces: int = 16,
                  compute_dtype=jnp.float32,
-                 warp_method: str = "auto"):
+                 warp_method: str = "auto",
+                 nms_top_m: int = 128):
         base = Path(model_path) if model_path else _DATA_DIR
         npz = base / f"{_MODEL_FILES[model_type]}.npz"
         if not npz.exists():
@@ -90,6 +91,13 @@ class FaceDetection:
             anchors_lib.ssd_generate_anchors(_SSD_OPTS[model_type]))
         _, self.in_h, self.in_w, _ = self.graph.input_shape
         self.max_faces = max_faces
+        # Static candidate-pool bound for the fixed-shape weighted NMS:
+        # only the nms_top_m highest-scoring anchors enter the merge.
+        # The reference's sequential loop (nms.rs:56-124) is unbounded;
+        # 128 is exact for any scene whose above-threshold anchor count
+        # fits, and crowded scenes can raise it up to the anchor count
+        # (896/2304) to recover the unbounded semantics.
+        self.nms_top_m = nms_top_m
         self._warp = image_ops.resolve_warp_method(warp_method)
         self._jitted = {}
 
@@ -111,7 +119,8 @@ class FaceDetection:
         scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
         valid = post.detection_validity(boxes, scores)
         out_d, out_s, out_v = post.weighted_nms(
-            boxes, scores, valid, max_outputs=self.max_faces)
+            boxes, scores, valid, max_outputs=self.max_faces,
+            top_m=self.nms_top_m)
         out_d = post.letterbox_removal(out_d, padding)
         return out_d, out_s, out_v
 

@@ -99,7 +99,8 @@ class FaceCascade:
                  model_path: Optional[str] = None,
                  compute_dtype=jnp.float32,
                  warp_method: str = "auto",
-                 max_faces: int = 1):
+                 max_faces: int = 1,
+                 nms_top_m: int = 128):
         base = Path(model_path) if model_path else _DATA_DIR
         det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
         mesh_graph = Graph(base / "face_landmark.npz")
@@ -116,6 +117,9 @@ class FaceCascade:
         _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
         self._warp = image_ops.resolve_warp_method(warp_method)
         self.max_faces = max_faces
+        # weighted-NMS candidate-pool bound; raise for crowded scenes
+        # (see models/face_detection.py nms_top_m)
+        self.nms_top_m = nms_top_m
         self._jitted = {}
 
     # ---- single-image program (vmapped over batch) ---------------------
@@ -157,7 +161,8 @@ class FaceCascade:
         scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
         valid = post.detection_validity(boxes, scores)
         out_d, out_s, out_v = post.weighted_nms(boxes, scores, valid,
-                                                max_outputs=self.max_faces)
+                                                max_outputs=self.max_faces,
+                                                top_m=self.nms_top_m)
         dets = post.letterbox_removal(out_d, padding)  # [N, 8, 2]
 
         if self.max_faces == 1:
