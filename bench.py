@@ -30,6 +30,44 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _distinct_batch(img, n, rng):
+    """Mixed-content batch: every frame gets a different ROI geometry.
+
+    Frame 0 stays the untouched man.jpg (the accuracy gate's ground
+    truth); the rest are circular shifts (moves the face, so every
+    warp's band geometry differs), horizontal flips (mirrors ROI
+    rotation) and brightness jitter of it, plus crops of the russ_cox
+    photos resized into the same canvas."""
+    h, w = img.shape[:2]
+    frames = [img]
+    extra = []
+    try:
+        from PIL import Image
+        for p in ("russ_cox_1.jpg", "russ_cox_2.jpg"):
+            im = Image.open(f"/root/reference/test_data/{p}").convert(
+                "RGB").resize((w, h), Image.BILINEAR)
+            extra.append(np.asarray(im, np.uint8))
+    except Exception:
+        pass
+    while len(frames) < n:
+        i = len(frames)
+        if extra and i % 5 == 4:
+            base = extra[i % len(extra)]
+        else:
+            base = img
+        dy = int(rng.integers(-h // 6, h // 6 + 1))
+        dx = int(rng.integers(-w // 6, w // 6 + 1))
+        f = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+        if i % 3 == 1:
+            f = f[:, ::-1]
+        if i % 4 == 2:
+            f = np.clip(f.astype(np.int16)
+                        + int(rng.integers(-25, 26)), 0, 255
+                        ).astype(np.uint8)
+        frames.append(np.ascontiguousarray(f))
+    return np.stack(frames[:n])
+
+
 def _accuracy_ok(result, img_size=(540, 360)):
     """Ground-truth check on man.jpg (BASELINE.md)."""
     w, h = img_size
@@ -60,6 +98,12 @@ def main():
                     default="auto")
     ap.add_argument("--model", choices=["back", "short", "full"],
                     default="back")
+    ap.add_argument("--identical", action="store_true",
+                    help="bench N copies of one frame (legacy mode); "
+                         "default is a mixed-content batch where every "
+                         "frame has different ROI geometry")
+    ap.add_argument("--skip-p50", action="store_true",
+                    help="skip the batch-1 p50 latency measurement")
     args = ap.parse_args()
 
     import jax
@@ -86,8 +130,13 @@ def main():
          f"batch={args.batch} model={args.model}")
 
     img = load_image("/root/reference/test_data/man.jpg")
-    batch = np.broadcast_to(img, (args.batch,) + img.shape)
-    batch = jnp.asarray(np.ascontiguousarray(batch))
+    if args.identical:
+        batch = np.broadcast_to(img, (args.batch,) + img.shape)
+        batch = np.ascontiguousarray(batch)
+    else:
+        batch = _distinct_batch(img, args.batch,
+                                np.random.default_rng(0))
+    batch = jnp.asarray(batch)
 
     order = (["bf16", "f32"] if args.dtype == "auto" else [args.dtype])
     cascade = None
@@ -115,17 +164,36 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = args.batch * args.iters / dt
-    p50_ms = dt / args.iters * 1e3
-    _log(f"dtype={chosen} {fps:.1f} frames/s; {p50_ms:.2f} ms/step "
-         f"({p50_ms / args.batch:.4f} ms/frame)")
+    step_ms = dt / args.iters * 1e3
+    _log(f"dtype={chosen} {fps:.1f} frames/s; {step_ms:.2f} ms/step "
+         f"({step_ms / args.batch:.4f} ms/frame)"
+         f"{' [identical frames]' if args.identical else ' [distinct]'}")
+
+    # batch-1 p50 latency (BASELINE.md deliverable): single frame,
+    # host-to-host, steady state
+    p50_ms = None
+    if not args.skip_p50:
+        one = batch[:1]
+        jax.block_until_ready(cascade(one))
+        lats = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            jax.block_until_ready(cascade(one))
+            lats.append(time.perf_counter() - t0)
+        p50_ms = float(np.median(lats) * 1e3)
+        _log(f"batch-1 p50 latency: {p50_ms:.2f} ms")
 
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
-    print(json.dumps({
+    record = {
         "metric": "cascade_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
-    }))
+        "distinct_content": not args.identical,
+    }
+    if p50_ms is not None:
+        record["p50_batch1_ms"] = round(p50_ms, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,173 @@
+"""Large-frame warp: the strip-DMA Pallas path (HBM-resident planes).
+
+Beyond ~720p the padded frame planes no longer fit VMEM; the kernel
+switches to per-block strip DMAs (ops/pallas_warp._warp_kernel_strips).
+Semantics must stay identical to the exact gather (reference warp
+transform.rs:210-234 at any size) within one uint8 quantization level,
+and the cascade must keep its Pallas fast path at 1080p.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_face.ops import image as image_ops
+from tpu_face.ops import pallas_warp
+
+
+@pytest.fixture(scope="module")
+def frame_1080p():
+    rng = np.random.RandomState(3)
+    return rng.randint(0, 256, (1080, 1920, 3), np.uint8)
+
+
+def test_1080p_planes_use_strip_path(frame_1080p):
+    """The residency switch actually selects strips at 1080p."""
+    assert not pallas_warp.planes_fit_vmem(1080, 1920)
+    assert pallas_warp.planes_fit_vmem(720, 1280)
+
+
+@pytest.mark.parametrize("rot", [0.0, 0.3, -0.5])
+def test_strip_warp_matches_gather_1080p(frame_1080p, rot):
+    img = jnp.asarray(frame_1080p, jnp.float32)
+    roi = jnp.array([960.0, 540.0, 520.0, 520.0, rot], jnp.float32)
+    sx, sy, _ = image_ops._source_coords(roi, (192, 192), False, False)
+    assert bool(pallas_warp.envelope_ok(sx, sy, 32, 80))
+    out = pallas_warp.warp_sample(img, sx, sy, band=80)
+    ref = image_ops.bilinear_sample(img, sx, sy)
+    diff = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert diff <= 1.0, diff  # one uint8 quantization level
+
+
+def test_strip_warp_multi_two_grids_1080p(frame_1080p):
+    """Both iris crops in one strip-DMA call, like the cascade issues."""
+    img = jnp.asarray(frame_1080p, jnp.float32)
+    left = jnp.array([800.0, 500.0, 160.0, 160.0, 0.1], jnp.float32)
+    right = jnp.array([1100.0, 500.0, 150.0, 150.0, -0.2], jnp.float32)
+    lx, ly, _ = image_ops._source_coords(left, (64, 64), True, False)
+    rx, ry, _ = image_ops._source_coords(right, (64, 64), True, True)
+    lt, rt = pallas_warp.warp_sample_multi(img, [(lx, ly), (rx, ry)],
+                                           band=48)
+    ref_l = image_ops.bilinear_sample(img, lx, ly)
+    ref_r = image_ops.bilinear_sample(img, rx, ry)
+    assert np.abs(np.asarray(lt) - np.asarray(ref_l)).max() <= 1.0
+    assert np.abs(np.asarray(rt) - np.asarray(ref_r)).max() <= 1.0
+
+
+def test_strip_warp_frame_edges(frame_1080p):
+    """ROIs hugging frame corners exercise the ystart/xa clamps and the
+    zero-border tap masking on the strip path."""
+    img = jnp.asarray(frame_1080p, jnp.float32)
+    for cx, cy in [(40.0, 40.0), (1880.0, 1040.0), (40.0, 1040.0)]:
+        roi = jnp.array([cx, cy, 300.0, 300.0, 0.2], jnp.float32)
+        sx, sy, _ = image_ops._source_coords(roi, (192, 192), False,
+                                             False)
+        out = pallas_warp.warp_sample(img, sx, sy, band=48)
+        ref = image_ops.bilinear_sample(img, sx, sy)
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() <= 1.0
+
+
+def test_strip_warp_vmapped_batch(frame_1080p):
+    """vmap over frames flattens into the kernel's group grid axis
+    (custom_vmap rule): every batch item samples its OWN planes."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    frames = np.stack([frame_1080p,
+                       rng.randint(0, 256, frame_1080p.shape, np.uint8)])
+    imgs = jnp.asarray(frames, jnp.float32)
+    rois = jnp.array([[900.0, 500.0, 400.0, 400.0, 0.2],
+                      [1000.0, 600.0, 480.0, 480.0, -0.3]], jnp.float32)
+
+    def one(img, roi):
+        sx, sy, _ = image_ops._source_coords(roi, (192, 192), False,
+                                             False)
+        return pallas_warp.warp_sample(img, sx, sy, band=80)
+
+    batched = jax.vmap(one)(imgs, rois)
+    for i in range(2):
+        ref = one(imgs[i], rois[i])
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(ref), atol=1e-5)
+
+
+def test_strip_warp_nested_vmap_faces_share_planes(frame_1080p):
+    """The cascade's nesting: inner vmap over faces (planes shared,
+    in_axes None), outer vmap over frames."""
+    import jax
+
+    rng = np.random.RandomState(9)
+    frames = np.stack([frame_1080p,
+                       rng.randint(0, 256, frame_1080p.shape, np.uint8)])
+    imgs = jnp.asarray(frames, jnp.float32)
+    rois = jnp.array([[[700.0, 400.0, 300.0, 300.0, 0.1],
+                       [1300.0, 700.0, 350.0, 350.0, -0.2]],
+                      [[500.0, 300.0, 320.0, 320.0, 0.3],
+                       [1500.0, 800.0, 280.0, 280.0, 0.0]]], jnp.float32)
+
+    def per_face(planes, roi):
+        sx, sy, _ = image_ops._source_coords(roi, (192, 192), False,
+                                             False)
+        (out,) = pallas_warp.warp_sample_multi(None, [(sx, sy)],
+                                               band=80, planes=planes)
+        return out
+
+    def per_frame(img, frois):
+        planes = pallas_warp.make_planes(img, band=80)
+        return jax.vmap(per_face, in_axes=(None, 0))(planes, frois)
+
+    nested = jax.vmap(per_frame)(imgs, rois)
+    for i in range(2):
+        for f in range(2):
+            sx, sy, _ = image_ops._source_coords(
+                rois[i, f], (192, 192), False, False)
+            ref = image_ops.bilinear_sample(imgs[i], sx, sy)
+            assert np.abs(np.asarray(nested[i, f])
+                          - np.asarray(ref)).max() <= 1.0
+
+
+@pytest.fixture(scope="module")
+def man_on_1080p():
+    """man.jpg pasted (2x-scaled) onto a black 1080p canvas."""
+    from tpu_face.utils.image_io import load_image
+
+    man = load_image("/root/reference/test_data/man.jpg")
+    # nearest-neighbour 2x upscale keeps the fixture dependency-free
+    big = np.repeat(np.repeat(man, 2, axis=0), 2, axis=1)  # 720x1080
+    canvas = np.zeros((1080, 1920, 3), np.uint8)
+    canvas[180:900, 420:1500] = big
+    return canvas
+
+
+def test_cascade_1080p_pallas_matches_gather(man_on_1080p):
+    """Full cascade at 1080p: the Pallas strip path stays within budget
+    of the exact gather path and keeps envelope_ok True."""
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+
+    ref = FaceCascade(FaceDetectionModel.BACK_CAMERA,
+                      warp_method="gather").infer_batch(man_on_1080p)
+    out = FaceCascade(FaceDetectionModel.BACK_CAMERA,
+                      warp_method="pallas").infer_batch(man_on_1080p)
+    assert bool(np.asarray(ref.mesh_valid[0]))
+    assert bool(np.asarray(out.mesh_valid[0]))
+    assert bool(np.asarray(out.envelope_ok[0]))
+    mesh_px = np.abs((np.asarray(out.mesh[0]) - np.asarray(ref.mesh[0]))
+                     * np.array([1920.0, 1080.0, 1920.0]))
+    assert mesh_px.max() <= 1.0, mesh_px.max()
+    iris_px = np.abs((np.asarray(out.iris[0]) - np.asarray(ref.iris[0]))
+                     * np.array([1920.0, 1080.0, 1920.0]))
+    assert iris_px.max() <= 1.0, iris_px.max()
+
+
+def test_envelope_flag_rejects_oversized_roi():
+    """A ROI whose per-block source extent exceeds the static windows
+    must report envelope_ok=False (the jitted cascade folds this into
+    mesh_valid instead of silently clamping taps — silent-clamp fix)."""
+    huge = jnp.array([960.0, 540.0, 1600.0, 1600.0, 0.0], jnp.float32)
+    sx, sy, _ = image_ops._source_coords(huge, (192, 192), False, False)
+    assert not bool(pallas_warp.envelope_ok(sx, sy, 32, 64))
+    ok = jnp.array([960.0, 540.0, 600.0, 600.0, 0.0], jnp.float32)
+    sx, sy, _ = image_ops._source_coords(ok, (192, 192), False, False)
+    assert bool(pallas_warp.envelope_ok(sx, sy, 32, 64))

@@ -36,9 +36,10 @@ class Graph:
         self.inputs = meta["inputs"]
         self.outputs = meta["outputs"]
         self.tensors = meta["tensors"]
-        self.ops = meta["ops"]
         self.consts = {int(k[1:]): payload[k] for k in payload.files
                        if k.startswith("t")}
+        self.ops = _fold_pads_into_convs(meta["ops"], self.consts,
+                                         set(self.outputs))
 
     @property
     def input_shape(self):
@@ -47,6 +48,69 @@ class Graph:
     @property
     def output_shapes(self):
         return [tuple(self.tensors[i]["shape"]) for i in self.outputs]
+
+
+def _fold_pads_into_convs(ops, consts, graph_outputs):
+    """Fold PAD ops into the convolutions that consume them.
+
+    TFLite expresses SAME-style conv padding as an explicit PAD op
+    followed by a VALID conv (11-43 PADs per detection model,
+    SURVEY.md §2.3); each PAD materializes a full padded activation
+    tensor in HBM.  Zero-pad + VALID conv == conv with explicit edge
+    padding, so the pad becomes a conv attribute and the HBM round-trip
+    disappears.  Folds only when every consumer is a CONV/DW with VALID
+    padding and the pad touches spatial dims alone; MAX_POOL is NOT
+    foldable (its identity is -inf, not 0)."""
+    consumers = {}
+    for node in ops:
+        for i in node["inputs"]:
+            consumers.setdefault(i, []).append(node)
+
+    def spatial_pad(node):
+        if node["op"] != "PAD" or node["inputs"][1] not in consts:
+            return None
+        p = np.asarray(consts[node["inputs"][1]])
+        if p.shape != (4, 2) or p[0].any() or p[3].any():
+            return None
+        return [(int(p[1][0]), int(p[1][1])),
+                (int(p[2][0]), int(p[2][1]))]
+
+    folded = []
+    for node in ops:
+        pad = spatial_pad(node)
+        out = node["outputs"][0] if node["outputs"] else None
+        users = consumers.get(out, [])
+        if (pad is not None and out not in graph_outputs and users
+                and all(u["op"] in ("CONV_2D", "DEPTHWISE_CONV_2D")
+                        and u["options"]["padding"] == "VALID"
+                        and u["inputs"][0] == out for u in users)):
+            for u in users:
+                u["inputs"] = [node["inputs"][0]] + u["inputs"][1:]
+                u["options"] = dict(u["options"], padding=pad)
+            continue
+        folded.append(node)
+    return folded
+
+
+def graph_flops(graph, batch: int = 1) -> int:
+    """MAC-based FLOP count (2*MACs) of the conv/matmul ops — the
+    numerator for MFU reporting (docs/PERF.md)."""
+    shapes = {i: t["shape"] for i, t in enumerate(graph.tensors)}
+    total = 0
+    for node in graph.ops:
+        op, ins, outs = node["op"], node["inputs"], node["outputs"]
+        if op in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            w = graph.consts[ins[1]].shape
+            oshape = shapes[outs[0]]
+            # CONV weight OHWI: O*kh*kw*I MACs per output pixel;
+            # DW weight [1,kh,kw,C]: kh*kw*C MACs per output pixel
+            per_pix = (w[0] * w[1] * w[2] * w[3] if op == "CONV_2D"
+                       else w[1] * w[2] * w[3])
+            total += 2 * per_pix * oshape[1] * oshape[2]
+        elif op == "FULLY_CONNECTED":
+            w = graph.consts[ins[1]].shape
+            total += 2 * w[0] * w[1]
+    return total * batch
 
 
 def _act(x, kind):

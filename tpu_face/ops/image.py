@@ -272,21 +272,21 @@ def warp_image_to_tensor(image: jnp.ndarray,
                                            keep_aspect_ratio,
                                            flip_horizontal)
     if method == "pallas":
-        # Static feasibility gates, all falling back to the exact
-        # gather (slow but correct):
-        #   * the kernel keeps three padded f32 planes resident in VMEM
-        #     (beyond ~720p that exceeds the ~16 MB budget);
+        # Static feasibility gates, falling back to the exact gather
+        # (slow but correct):
         #   * the per-block x-extent must fit the 128-lane window, so
         #     the column-block width shrinks with the worst-case
         #     (whole-image) ROI-to-output scale and bows out entirely
         #     for extreme downscales;
         #   * output dims must tile 8 x cw.
+        # Frame size is NOT a gate: when the padded planes exceed the
+        # VMEM budget the kernel switches to HBM-resident planes with
+        # per-block strip DMA (ops/pallas_warp._warp_kernel_strips).
         from . import pallas_warp
         h_, w_ = image.shape[0], image.shape[1]
         cw = pallas_warp.pick_cw(max(w_ / out_size[0],
                                      h_ / out_size[1]))
-        if (not pallas_warp.planes_fit_vmem(h_, w_) or cw == 0
-                or out_size[0] % cw or out_size[1] % 8):
+        if cw == 0 or out_size[0] % cw or out_size[1] % 8:
             method = "gather"
     if method == "pallas":
         out = pallas_warp.warp_sample(img, src_x, src_y, band=band,

@@ -41,6 +41,17 @@ gather).
 the left and right iris crops) in ONE pallas_call so the frame's planes
 are fetched into VMEM once, not once per warp.  jax.vmap batches the
 call by prepending a batch grid dimension.
+
+Two plane residency modes share the same per-block math:
+
+* resident  — the three padded f32 planes live in VMEM for the whole
+  call (zero per-block fetch cost).  Used when they fit the ~12 MB
+  budget (<= ~720p frames).
+* strips    — the planes stay in HBM (``pltpu.ANY``) and every block
+  double-buffer-DMAs only its [band, 256] source strip into VMEM
+  scratch, so frame size no longer bounds the kernel (1080p, 4K, ...).
+  Per-block traffic is band*256*4 B/channel; the DMA of block k+1
+  overlaps the compute of block k.
 """
 
 from functools import partial
@@ -65,25 +76,82 @@ def planes_fit_vmem(h: int, w: int, budget_bytes: int = 12 * 2**20
     return 3 * 4 * hp * wp <= budget_bytes
 
 
-def pick_cw(scale_x: float) -> int:
+def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
     """Largest column-block width whose x-extent fits the 128-lane
-    window: cw * scale_x + margin <= 126.  Returns 0 when even cw=16
-    does not fit (caller should use the exact gather)."""
+    window: cw*scale_x + 8*scale_x*sin_max + 2 <= 126 (the shear term
+    8*|dx/dv| is bounded by the worst-case rotation ``sin_max``, default
+    0.5 = 30 degrees — beyond any ROI the cascade derives).  Returns 0
+    when even cw=16 does not fit (caller should use the exact gather).
+    Per-ROI truth is checked dynamically by ``envelope_ok``."""
     for cw in (32, 16):
-        if cw * scale_x + 10.0 <= 126.0:
+        if (cw + 8.0 * sin_max) * scale_x + 2.0 <= 126.0:
             return cw
     return 0
+
+
+def envelope_ok(src_x, src_y, cw: int, band: int):
+    """Traced per-warp check that a coordinate grid fits the kernel's
+    static windows (the docstring's x/y extent constraints).
+
+    The block-local source extents are affine in the output grid, so the
+    global derivatives |dx/du|, |dx/dv|, |dy/du|, |dy/dv| measured from
+    the grid's first row/column bound every block.  Returns a traced
+    bool; False means some taps would clamp (callers surface it as a
+    validity flag — a jitted program cannot fall back)."""
+    dxdu = jnp.abs(src_x[0, 1] - src_x[0, 0])
+    dxdv = jnp.abs(src_x[1, 0] - src_x[0, 0])
+    dydu = jnp.abs(src_y[0, 1] - src_y[0, 0])
+    dydv = jnp.abs(src_y[1, 0] - src_y[0, 0])
+    x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
+    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (ROW_TILE - 1)
+    return (x_ext <= 126.0) & (y_ext <= band)
 
 
 def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
+def _block_geometry(xs, ys, h, w, band):
+    """Aligned source-strip origin for one output block: 8-aligned row
+    start, 128-aligned column start, and the lane roll offset."""
+    ymin = jnp.floor(jnp.min(ys)).astype(jnp.int32)
+    ystart = jnp.clip((ymin // 8) * 8, 0, h - band)
+    ystart = pl.multiple_of(ystart, 8)
+    xmin = jnp.clip(jnp.floor(jnp.min(xs)).astype(jnp.int32), 0, w - 1)
+    xa = jnp.clip((xmin // XWIN) * XWIN, 0, w - XLOAD)
+    xa = pl.multiple_of(xa, XWIN)
+    return ystart, xa, xmin - xa, xmin
+
+
+def _block_weights(xs, ys, xmin, ystart, iota_x, iota_y, w, dot_bf16):
+    """Hat weight matrices for one block.
+
+    tap validity (x < w) zeroes any tap beyond the true image width, so
+    when the xa clip binds and the roll wraps padded columns onto real
+    pixels the wrapped taps carry no weight — the zero-border semantics
+    survive without extra padding."""
+    tap_x = iota_x + xmin.astype(jnp.float32)
+    wx = _hat(tap_x - xs) * (tap_x < w).astype(jnp.float32)
+    wy = _hat(iota_y + ystart.astype(jnp.float32) - ys)  # [band, PB]
+    if dot_bf16:
+        wx = wx.astype(jnp.bfloat16)
+    return wx, wy
+
+
+def _block_dot(window, wx, wy, dot_bf16):
+    """[band, XWIN] window x [XWIN, PB] hat weights on the MXU, then the
+    VPU y-reduction."""
+    if dot_bf16:
+        window = window.astype(jnp.bfloat16)
+    t1 = jnp.dot(window, wx, preferred_element_type=jnp.float32)
+    return jnp.sum(wy * t1, axis=0)
+
+
 def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
                  band, dot_bf16):
-    """One row-tile of CB [ROW_TILE, cw] output blocks.
+    """One row-tile of CB [ROW_TILE, cw] output blocks, planes resident.
 
-    r/g/b_ref: [Hp, Wp] f32 channel planes (padded);
+    r/g/b_ref: [Hp, Wp] f32 channel planes (padded, whole-call VMEM);
     xs_ref/ys_ref: [1, CB, 1, PB] block-flattened coords;
     out_ref: [1, 3, CB, PB] f32.
     """
@@ -100,35 +168,142 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
     for cb in range(cb_count):
         xs = xs_ref[0, cb]                                # [1, PB]
         ys = ys_ref[0, cb]
-
-        ymin = jnp.floor(jnp.min(ys)).astype(jnp.int32)
-        ystart = jnp.clip((ymin // 8) * 8, 0, h - band)
-        ystart = pl.multiple_of(ystart, 8)
-
-        xmin = jnp.clip(jnp.floor(jnp.min(xs)).astype(jnp.int32),
-                        0, w - 1)
-        xa = jnp.clip((xmin // XWIN) * XWIN, 0, w - XLOAD)
-        xa = pl.multiple_of(xa, XWIN)
-        off = xmin - xa
-
-        # tap validity (x < w) zeroes any tap beyond the true image
-        # width, so when the xa clip binds and the roll wraps padded
-        # columns onto real pixels the wrapped taps carry no weight —
-        # the zero-border semantics survive without extra padding
-        tap_x = iota_x + xmin.astype(jnp.float32)
-        wx = _hat(tap_x - xs) * (tap_x < w).astype(jnp.float32)
-        wy = _hat(iota_y + ystart.astype(jnp.float32) - ys)  # [band, PB]
-        if dot_bf16:
-            wx = wx.astype(jnp.bfloat16)
-
+        ystart, xa, off, xmin = _block_geometry(xs, ys, h, w, band)
+        wx, wy = _block_weights(xs, ys, xmin, ystart, iota_x, iota_y,
+                                w, dot_bf16)
         for c, ref in enumerate((r_ref, g_ref, b_ref)):
             strip = ref[pl.ds(ystart, band), pl.ds(xa, XLOAD)]
             window = pltpu.roll(strip, -off, axis=1)[:, :XWIN]
-            if dot_bf16:
-                window = window.astype(jnp.bfloat16)
-            t1 = jnp.dot(window, wx,
-                         preferred_element_type=jnp.float32)
-            out_ref[0, c, cb, :] = jnp.sum(wy * t1, axis=0)
+            out_ref[0, c, cb, :] = _block_dot(window, wx, wy, dot_bf16)
+
+
+def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
+                        strip_ref, sem_ref, *, band, dot_bf16,
+                        plane_ratio):
+    """The same row-tile program with HBM-resident planes: each block
+    DMAs only its [band, XLOAD] source strip into a double-buffered
+    VMEM scratch, so arbitrarily large frames never have to fit VMEM.
+
+    planes_ref: [GP, 3, Hp, Wp] f32 stacked planes in HBM
+    (``pltpu.ANY`` — Pallas TPU only allows ANY refs with a trivial
+    index map, so batching is a GRID dimension, not a blocked ref; the
+    grid's group axis g maps to plane set g // plane_ratio);
+    xs_ref/ys_ref: [1, 1, CB, 1, PB]; out_ref: [1, 1, 3, CB, PB];
+    strip_ref: [2, 3, band, XLOAD] VMEM scratch; sem_ref: [2, 3] DMA.
+    """
+    h = planes_ref.shape[2]
+    w = planes_ref.shape[3]
+    cb_count = xs_ref.shape[2]
+    pb = xs_ref.shape[4]
+    b = pl.program_id(0) // plane_ratio
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, pb), 0
+                                      ).astype(jnp.float32)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
+                                      ).astype(jnp.float32)
+
+    # per-block geometry is cheap scalar math; compute it up front so
+    # block k+1's DMAs can issue before block k's compute
+    geom = []
+    for cb in range(cb_count):
+        geom.append(_block_geometry(xs_ref[0, 0, cb], ys_ref[0, 0, cb],
+                                    h, w, band))
+
+    def _dma(cb, slot, c):
+        ystart, xa, _, _ = geom[cb]
+        return pltpu.make_async_copy(
+            planes_ref.at[b, c, pl.ds(ystart, band), pl.ds(xa, XLOAD)],
+            strip_ref.at[slot, c],
+            sem_ref.at[slot, c])
+
+    for c in range(3):
+        _dma(0, 0, c).start()
+
+    for cb in range(cb_count):
+        slot = cb % 2
+        if cb + 1 < cb_count:
+            for c in range(3):
+                _dma(cb + 1, (cb + 1) % 2, c).start()
+        xs = xs_ref[0, 0, cb]
+        ys = ys_ref[0, 0, cb]
+        ystart, xa, off, xmin = geom[cb]
+        wx, wy = _block_weights(xs, ys, xmin, ystart, iota_x, iota_y,
+                                w, dot_bf16)
+        for c in range(3):
+            _dma(cb, slot, c).wait()
+            window = pltpu.roll(strip_ref[slot, c], -off,
+                                axis=1)[:, :XWIN]
+            out_ref[0, 0, c, cb, :] = _block_dot(window, wx, wy,
+                                                 dot_bf16)
+
+
+_STRIPS_FNS = {}
+
+
+def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool):
+    """Cached ``jax.custom_vmap`` wrapper around the strip-DMA
+    pallas_call.
+
+    vmap cannot batch an ANY-memspace ref (Mosaic requires its block =
+    whole array with a trivial index map), so the custom batching rule
+    FLATTENS every vmap level into the leading "group" grid axis:
+    planes [GP, 3, Hp, Wp] + coords [GC, T, CB, 1, PB] with GP | GC;
+    group g reads plane set g // (GC/GP).  Nested vmaps (faces inside
+    batch) flatten consistently because coords and planes grow by the
+    same leading factor whenever both are batched, and only GP == 1
+    levels (shared frame planes across faces) are ever unbatched."""
+    key = (band, dot_bf16, interpret)
+    if key in _STRIPS_FNS:
+        return _STRIPS_FNS[key]
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def fn(planes, xs, ys):
+        gp = planes.shape[0]
+        gc, t, cb, _, pb = xs.shape
+        assert gc % gp == 0, (gc, gp)
+        coord_spec = pl.BlockSpec((1, 1, cb, 1, pb),
+                                  lambda g, i: (g, i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            partial(_warp_kernel_strips, band=band, dot_bf16=dot_bf16,
+                    plane_ratio=gc // gp),
+            grid=(gc, t),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), coord_spec,
+                      coord_spec],
+            out_specs=pl.BlockSpec((1, 1, 3, cb, pb),
+                                   lambda g, i: (g, i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gc, t, 3, cb, pb),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, 3, band, XLOAD),
+                                       jnp.float32),
+                            pltpu.SemaphoreType.DMA((2, 3))],
+            interpret=interpret,
+        )(planes, xs, ys)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, planes, xs, ys):
+        planes_b, xs_b, ys_b = in_batched
+        assert xs_b and ys_b, "coordinate grids must be batched"
+
+        def flat(a):
+            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+        if planes_b:
+            planes = flat(planes)
+        else:
+            # shared planes across this axis (e.g. faces of one frame)
+            # only compose when GP == 1, which is the only way an
+            # unbatched-planes level arises in the cascade
+            assert planes.shape[0] == 1, planes.shape
+        out = fn(planes, flat(xs), flat(ys))
+        return (out.reshape((axis_size, out.shape[0] // axis_size)
+                            + out.shape[1:]), True)
+
+    _STRIPS_FNS[key] = fn
+    return fn
 
 
 def _blocked(a, ho, wo, cw):
@@ -144,12 +319,20 @@ def make_planes(image_hwc: jnp.ndarray, band: int = 48):
     """Padded f32 channel planes for ``warp_sample_multi``: one fused
     pad+convert per channel.  Build ONCE per frame and share across
     every warp call of the frame (the tap-validity mask in the kernel
-    works off the padded width, so planes carry no extra metadata)."""
+    works off the padded width, so planes carry no extra metadata).
+
+    Returns a LIST of three [Hp, Wp] planes when they fit the VMEM
+    residency budget (the resident kernel wants separate 2D refs), or
+    one stacked [3, Hp, Wp] array for the HBM strip-DMA kernel on
+    larger frames — ``warp_sample_multi`` dispatches on the type."""
     h, w, _ = image_hwc.shape
     hp = max(-(-h // 8) * 8, band)
     wp = max(-(-w // XWIN) * XWIN, XLOAD)
-    return [jnp.pad(image_hwc[..., c].astype(jnp.float32),
-                    ((0, hp - h), (0, wp - w))) for c in range(3)]
+    if planes_fit_vmem(hp, wp):
+        return [jnp.pad(image_hwc[..., c].astype(jnp.float32),
+                        ((0, hp - h), (0, wp - w))) for c in range(3)]
+    return jnp.pad(image_hwc.astype(jnp.float32).transpose(2, 0, 1),
+                   ((0, 0), (0, hp - h), (0, wp - w)))
 
 
 def warp_sample_multi(image_hwc, coords, band: int = 48,
@@ -196,25 +379,34 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
 
     if planes is None:
         planes = make_planes(image_hwc, band)
-    hp, wp = planes[0].shape
+    # plane residency: a LIST of 2D planes = VMEM-resident kernel; one
+    # stacked [3, Hp, Wp] array = HBM strip-DMA kernel (large frames).
+    resident = isinstance(planes, (list, tuple))
+    hp, wp = (planes[0].shape if resident else planes.shape[1:])
     band = min(band, hp)
+    dot_bf16 = dot_dtype == jnp.bfloat16
 
-    plane_spec = pl.BlockSpec((hp, wp), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-    coord_spec = pl.BlockSpec((1, cb, 1, pb), lambda i: (i, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_warp_kernel, band=band,
-                dot_bf16=dot_dtype == jnp.bfloat16),
-        grid=(t_total,),
-        in_specs=[plane_spec, plane_spec, plane_spec, coord_spec,
-                  coord_spec],
-        out_specs=pl.BlockSpec((1, 3, cb, pb), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_total, 3, cb, pb),
-                                       jnp.float32),
-        interpret=interpret,
-    )(*planes, xs, ys)
+    if resident:
+        coord_spec = pl.BlockSpec((1, cb, 1, pb),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        plane_spec = pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            partial(_warp_kernel, band=band, dot_bf16=dot_bf16),
+            grid=(t_total,),
+            in_specs=[plane_spec, plane_spec, plane_spec, coord_spec,
+                      coord_spec],
+            out_specs=pl.BlockSpec((1, 3, cb, pb),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_total, 3, cb, pb),
+                                           jnp.float32),
+            interpret=interpret,
+        )(*planes, xs, ys)
+    else:
+        fn = _get_strips_fn(band, dot_bf16, interpret)
+        out = fn(planes[None], xs[None], ys[None])[0]
 
     # split segments; [T, 3, CB, PB] -> [Ho, Wo, 3]
     results = []

@@ -58,9 +58,14 @@ class CascadeResult(NamedTuple):
     mesh: jnp.ndarray           # [B, 468, 3] refined with iris contours
     mesh_raw: jnp.ndarray       # [B, 468, 3] before iris refinement
     mesh_score: jnp.ndarray     # [B] presence score
-    mesh_valid: jnp.ndarray     # [B] bool
+    mesh_valid: jnp.ndarray     # [B] bool (presence AND envelope_ok)
     eye_rois: jnp.ndarray       # [B, 2, 5] left/right normalized
     iris: jnp.ndarray           # [B, 2, 5, 3] left/right iris landmarks
+    envelope_ok: jnp.ndarray    # [B] bool: every Pallas warp of this
+    # face fit the kernel's static sampling windows (always True on the
+    # exact-gather path).  False = the mesh/iris coordinates sampled
+    # clamped taps — treat the face as invalid (mesh_valid already
+    # folds this in).
 
 
 def _norm_rotation(angle):
@@ -125,14 +130,10 @@ class FaceCascade:
     # ---- single-image program (vmapped over batch) ---------------------
 
     def _warp_for(self, image_size):
-        """Per-geometry warp method: the Pallas kernel keeps the frame
-        planes resident in VMEM, so beyond ~720p fall back to the exact
-        gather (see ops/pallas_warp.planes_fit_vmem)."""
-        if self._warp != "pallas":
-            return self._warp
-        from .ops.pallas_warp import planes_fit_vmem
-        w, h = image_size
-        return "pallas" if planes_fit_vmem(h, w) else "gather"
+        """Per-geometry warp method.  Frame size no longer gates the
+        Pallas path: beyond ~720p the kernel switches to HBM-resident
+        planes with per-block strip DMA (ops/pallas_warp)."""
+        return self._warp
 
     def _single(self, image, image_size):
         w, h = image_size
@@ -148,22 +149,25 @@ class FaceCascade:
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
-        # hat matmuls, the cheapest exact path.
-        whole = jnp.array([0.5 * w, 0.5 * h, w, h, 0.0], jnp.float32)
-        tensor, padding = image_ops.warp_image_to_tensor(
-            img, whole, (self.det_w, self.det_h),
-            keep_aspect_ratio=True, output_range=(-1.0, 1.0),
-            method=("separable" if warp in ("mxu", "pallas")
-                    else warp))
-        raw_boxes, raw_scores = self._det_net(tensor[None])
-        boxes = post.decode_boxes(raw_boxes[0], self.anchors,
-                                  float(self.det_h))
-        scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
-        valid = post.detection_validity(boxes, scores)
-        out_d, out_s, out_v = post.weighted_nms(boxes, scores, valid,
-                                                max_outputs=self.max_faces,
-                                                top_m=self.nms_top_m)
-        dets = post.letterbox_removal(out_d, padding)  # [N, 8, 2]
+        # hat matmuls, the cheapest exact path.  named_scope labels make
+        # device traces attribute fused ops to stages (utils/profiling).
+        with jax.named_scope("tpu_face.detect"):
+            whole = jnp.array([0.5 * w, 0.5 * h, w, h, 0.0], jnp.float32)
+            tensor, padding = image_ops.warp_image_to_tensor(
+                img, whole, (self.det_w, self.det_h),
+                keep_aspect_ratio=True, output_range=(-1.0, 1.0),
+                method=("separable" if warp in ("mxu", "pallas")
+                        else warp))
+            raw_boxes, raw_scores = self._det_net(tensor[None])
+        with jax.named_scope("tpu_face.nms"):
+            boxes = post.decode_boxes(raw_boxes[0], self.anchors,
+                                      float(self.det_h))
+            scores = post.clamped_sigmoid(raw_scores[0].reshape(-1))
+            valid = post.detection_validity(boxes, scores)
+            out_d, out_s, out_v = post.weighted_nms(
+                boxes, scores, valid, max_outputs=self.max_faces,
+                top_m=self.nms_top_m)
+            dets = post.letterbox_removal(out_d, padding)  # [N, 8, 2]
 
         if self.max_faces == 1:
             return self._face_stages(img, planes, dets[0], out_s[0],
@@ -202,24 +206,30 @@ class FaceCascade:
         # Stage 3: face mesh (face_landmark.rs:232-305); the standalone
         # FaceLandmark model remains the exact path for extreme
         # geometry beyond the band envelope.
-        if warp == "pallas":
-            from .ops.pallas_warp import warp_sample_multi
-            mx, my, mesh_pad = image_ops._source_coords(
-                face_roi_abs, (self.mesh_w, self.mesh_h), False, False)
-            (mesh_raw,) = warp_sample_multi(
-                None, [(mx, my)], band=mesh_band, planes=planes)
-            mesh_tensor = image_ops._normalize_pixels(
-                mesh_raw, (0.0, 1.0), True)
-        else:
-            mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
-                img, face_roi_abs, (self.mesh_w, self.mesh_h),
-                keep_aspect_ratio=False, output_range=(0.0, 1.0),
-                method=warp, band=mesh_band)
-        raw_mesh, raw_flag = self._mesh_net(mesh_tensor[None])
-        mesh_score = jax.nn.sigmoid(raw_flag.reshape(()))
-        mesh = post.project_landmarks(
-            raw_mesh.reshape(-1), (self.mesh_w, self.mesh_h), image_size,
-            mesh_pad, face_roi_abs)  # [468, 3] normalized
+        env_ok = jnp.asarray(True)
+        with jax.named_scope("tpu_face.mesh_warp"):
+            if warp == "pallas":
+                from .ops.pallas_warp import (envelope_ok,
+                                              warp_sample_multi)
+                mx, my, mesh_pad = image_ops._source_coords(
+                    face_roi_abs, (self.mesh_w, self.mesh_h), False,
+                    False)
+                env_ok = env_ok & envelope_ok(mx, my, 32, mesh_band)
+                (mesh_raw,) = warp_sample_multi(
+                    None, [(mx, my)], band=mesh_band, planes=planes)
+                mesh_tensor = image_ops._normalize_pixels(
+                    mesh_raw, (0.0, 1.0), True)
+            else:
+                mesh_tensor, mesh_pad = image_ops.warp_image_to_tensor(
+                    img, face_roi_abs, (self.mesh_w, self.mesh_h),
+                    keep_aspect_ratio=False, output_range=(0.0, 1.0),
+                    method=warp, band=mesh_band)
+        with jax.named_scope("tpu_face.mesh"):
+            raw_mesh, raw_flag = self._mesh_net(mesh_tensor[None])
+            mesh_score = jax.nn.sigmoid(raw_flag.reshape(()))
+            mesh = post.project_landmarks(
+                raw_mesh.reshape(-1), (self.mesh_w, self.mesh_h),
+                image_size, mesh_pad, face_roi_abs)  # [468, 3] norm
 
         # Stage 4: eye ROIs (iris_landmark.rs:268-292); rotation from
         # NORMALIZED landmark coordinates, as the reference computes it
@@ -240,27 +250,34 @@ class FaceCascade:
         # (iris_landmark.rs:158-248).  On the Pallas path both eye
         # crops sample in ONE kernel call (single VMEM fetch of the
         # frame planes).
-        if warp == "pallas":
-            from .ops.pallas_warp import warp_sample_multi
-            lx, ly, lp = image_ops._source_coords(
-                left_roi, (self.iris_w, self.iris_h), True, False)
-            rx, ry, rp = image_ops._source_coords(
-                right_roi, (self.iris_w, self.iris_h), True, True)
-            lt_raw, rt_raw = warp_sample_multi(
-                None, [(lx, ly), (rx, ry)], band=iris_band,
-                planes=planes)
-            lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0), True)
-            rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0), True)
-        else:
-            lt, lp = image_ops.warp_image_to_tensor(
-                img, left_roi, (self.iris_w, self.iris_h),
-                keep_aspect_ratio=True, output_range=(0.0, 1.0),
-                flip_horizontal=False, method=warp, band=iris_band)
-            rt, rp = image_ops.warp_image_to_tensor(
-                img, right_roi, (self.iris_w, self.iris_h),
-                keep_aspect_ratio=True, output_range=(0.0, 1.0),
-                flip_horizontal=True, method=warp, band=iris_band)
-        raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
+        with jax.named_scope("tpu_face.iris_warp"):
+            if warp == "pallas":
+                from .ops.pallas_warp import (envelope_ok,
+                                              warp_sample_multi)
+                lx, ly, lp = image_ops._source_coords(
+                    left_roi, (self.iris_w, self.iris_h), True, False)
+                rx, ry, rp = image_ops._source_coords(
+                    right_roi, (self.iris_w, self.iris_h), True, True)
+                env_ok = (env_ok & envelope_ok(lx, ly, 32, iris_band)
+                          & envelope_ok(rx, ry, 32, iris_band))
+                lt_raw, rt_raw = warp_sample_multi(
+                    None, [(lx, ly), (rx, ry)], band=iris_band,
+                    planes=planes)
+                lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0),
+                                                 True)
+                rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0),
+                                                 True)
+            else:
+                lt, lp = image_ops.warp_image_to_tensor(
+                    img, left_roi, (self.iris_w, self.iris_h),
+                    keep_aspect_ratio=True, output_range=(0.0, 1.0),
+                    flip_horizontal=False, method=warp, band=iris_band)
+                rt, rp = image_ops.warp_image_to_tensor(
+                    img, right_roi, (self.iris_w, self.iris_h),
+                    keep_aspect_ratio=True, output_range=(0.0, 1.0),
+                    flip_horizontal=True, method=warp, band=iris_band)
+        with jax.named_scope("tpu_face.iris"):
+            raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
 
         def project_eye(raw, roi_abs, pad, flip):
             return post.project_landmarks(
@@ -290,10 +307,11 @@ class FaceCascade:
             mesh=refined,
             mesh_raw=mesh,
             mesh_score=mesh_score,
-            mesh_valid=face_valid & (mesh_score > 0.5),
+            mesh_valid=face_valid & (mesh_score > 0.5) & env_ok,
             eye_rois=jnp.stack([left_roi, right_roi])
                      * to_norm.at[2].set(inv_w).at[3].set(inv_h),
             iris=jnp.stack([l_iris, r_iris]),
+            envelope_ok=env_ok,
         )
 
     # ---- batched API ---------------------------------------------------
@@ -310,7 +328,10 @@ class FaceCascade:
         return self._get_jitted(h, w)(images)
 
     def infer_batch(self, images) -> CascadeResult:
-        images = jnp.asarray(images)
-        if images.ndim == 3:
-            images = images[None]
-        return self(images)
+        from .utils import profiling
+
+        with profiling.stage("cascade.infer_batch"):
+            images = jnp.asarray(images)
+            if images.ndim == 3:
+                images = images[None]
+            return self(images)

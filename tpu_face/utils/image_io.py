@@ -6,6 +6,7 @@ RGB) and everything after the decode runs on device.
 """
 
 import io
+import warnings
 from pathlib import Path
 from typing import Union
 
@@ -32,6 +33,12 @@ def load_image(src) -> np.ndarray:
             if not np.isfinite(arr).all():
                 raise ValueError("image contains NaN/Inf pixels")
             if arr.size and arr.max() <= 1.0:
+                if arr.max() > 0.0:
+                    warnings.warn(
+                        "load_image: float image with max <= 1.0 treated "
+                        "as [0,1]-scaled and multiplied by 255; pass uint8 "
+                        "or [0,255] floats to silence this",
+                        stacklevel=2)
                 arr = arr * 255.0
             return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
         return np.clip(src, 0, 255).astype(np.uint8)

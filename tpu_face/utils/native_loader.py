@@ -93,12 +93,14 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
 
 
 def decode_jpeg_batch(datas: Sequence[bytes], width: int, height: int,
-                      num_threads: int = 0) -> np.ndarray:
+                      num_threads: int = 0, strict: bool = False):
     """Decode same-sized JPEGs into one [N, H, W, 3] uint8 array.
 
     Frames that fail to decode (or whose size differs from
-    (width, height)) come back zero-filled.  ``num_threads`` 0 = one
-    per CPU.
+    (width, height)) come back zero-filled; the decoder's failure count
+    is surfaced so callers can tell a failed frame from a black one:
+    ``strict=True`` raises on any failure, otherwise a nonzero count is
+    warned once per call.  ``num_threads`` 0 = one per CPU.
     """
     lib = _load()
     if lib is None:
@@ -112,9 +114,16 @@ def decode_jpeg_batch(datas: Sequence[bytes], width: int, height: int,
     lens = (ctypes.c_ulong * n)(*[len(d) for d in datas])
     if num_threads <= 0:
         num_threads = min(n, os.cpu_count() or 1)
-    lib.tpuface_jpeg_decode_batch(
+    failures = lib.tpuface_jpeg_decode_batch(
         bufs, lens, out.ctypes.data_as(ctypes.c_void_p),
         width, height, n, num_threads)
+    if failures:
+        msg = (f"decode_jpeg_batch: {failures}/{n} frames failed to "
+               f"decode (zero-filled)")
+        if strict:
+            raise ValueError(msg)
+        import warnings
+        warnings.warn(msg, stacklevel=2)
     return out
 
 
