@@ -145,8 +145,12 @@ def _resize_bilinear(x, out_hw, align_corners, half_pixel_centers):
     x1 = jnp.minimum(x0 + 1, w - 1)
     wy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)[None, :, None, None]
     wx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    # row gathers once per y-set, column gathers on the row-reduced
+    # tensors (not four full-tensor gathers)
+    ty0 = x[:, y0]
+    ty1 = x[:, y1]
+    top = ty0[:, :, x0] * (1 - wx) + ty0[:, :, x1] * wx
+    bot = ty1[:, :, x0] * (1 - wx) + ty1[:, :, x1] * wx
     return top * (1 - wy) + bot * wy
 
 

@@ -123,6 +123,13 @@ def weighted_nms(data: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     Returns:
       (out_data [T, P, 2], out_scores [T], out_valid [T])
     """
+    # NOTE on bit-stability across max_faces settings: the top-1 fast
+    # path computes the same first merge as the scan path but in a
+    # different reduction order (single fused pass over all N anchors vs
+    # sorted top_m pool), so the two can differ by ~1e-5 in the merged
+    # coordinates.  The scan path is the CANONICAL semantics (it is the
+    # one oracle-tested against the sequential reference transcription);
+    # the fast path is an O(N) refactoring of its first iteration.
     if max_outputs == 1:
         return _weighted_nms_top1(data, scores, valid, threshold)
 
