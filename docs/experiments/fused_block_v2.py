@@ -1,17 +1,30 @@
-"""Fused residual-run kernel v2: K DW3x3+1x1+residual+relu layers per
-VMEM residency, with the three fixes the v1 negative result called for
-(docs/experiments/fused_block_prototype.py):
+"""NEGATIVE-RESULT (v2, definitive): K fused DW3x3+1x1+residual+relu
+layers per VMEM residency, with the three fixes the v1 result called
+for (docs/experiments/fused_block_prototype.py):
 
 1. numerics: halo rows outside the image are re-zeroed after every
    layer (v1 let relu(bias) values evolve in the halo, leaking into the
-   interior at the next layer -> max diff ~4);
-2. bf16 activations end-to-end (halves HBM + VMEM traffic; weights stay
-   f32 on the VPU, bf16 on the MXU);
+   interior at the next layer -> max diff ~4); v2 matches XLA to 0.21
+   on outputs of scale ~15 (pure bf16 reduction-order noise);
+2. bf16 activations end-to-end (halves HBM + VMEM traffic);
 3. DMA double buffering: chunk j+1's input streams in while chunk j
    computes (2-slot scratch).
 
-Microbench target (VERDICT round 1): beat XLA >= 1.3x on 7 blocks of
-[256, 128, 128, 24].
+Measured on v5e-1 (batch 256, 7 blocks @ 128x128x24, bf16):
+    XLA 7-block sequence : 10.69 ms/step
+    this kernel          : 17.26 ms/step
+CONCLUSION: XLA wins 1.6x and the loss is structural, not tunable.  The
+kernel's floor is the depthwise conv expressed as 9 shifted VPU FMAs
+over a [C=24, 10240] layout: ~12 vector passes/layer x 7 layers ~= 21us
+per grid step = 10.7 ms total across 512 steps — equal to XLA's ENTIRE
+time — before the 1x1 MXU dots, masking and layout overhead.  Memory
+was never the binding constraint once XLA runs bf16 (its fused conv
+pipeline keeps the stage at ~10.7 ms vs the ~3.4 ms pure-traffic floor,
+but the VPU formulation cannot reach even that).  Beating XLA here
+would need the DW conv itself on the MXU (banded/shifted weight
+matrices), which costs 128/24 = 5.3x padding waste per dot — also a
+loss.  The landed alternatives: PAD->conv folding at graph load
+(compiler/lowering.py), plane sharing across warps, and bf16 nets.
 """
 import sys
 import time
