@@ -119,6 +119,27 @@ def test_image_to_tensor_host_api():
     assert -1.0 <= out.tensor_data.min() and out.tensor_data.max() <= 1.0
 
 
+def test_separable_bf16_within_one_level():
+    """bf16-dot separable warp stays within one uint8 quantization
+    level of the exact f32 path (the Pallas-kernel contract, now shared
+    by the cascade's detection warp)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (360, 540, 3), np.uint8)
+    roi = image_ops.whole_image_roi((540, 360))
+    exact, _ = image_ops.warp_image_to_tensor(
+        jnp.asarray(img), roi, (256, 256), keep_aspect_ratio=True,
+        output_range=(-1.0, 1.0), method="separable")
+    fast, _ = image_ops.warp_image_to_tensor(
+        jnp.asarray(img), roi, (256, 256), keep_aspect_ratio=True,
+        output_range=(-1.0, 1.0), method="separable",
+        dot_dtype=jnp.bfloat16)
+    # output range (-1,1): one uint8 level = 2/255
+    diff = np.abs(np.asarray(fast) - np.asarray(exact)).max()
+    assert diff <= 2.0 / 255.0 + 1e-6, diff
+
+
 def test_load_image_float_conventions():
     """Code-review regression: float arrays must round+clip, not
     truncate/wrap; [0,1]-scaled floats are scaled up."""

@@ -218,20 +218,37 @@ def mxu_sample(image: jnp.ndarray, src_x: jnp.ndarray, src_y: jnp.ndarray,
 
 
 def separable_sample(image: jnp.ndarray, src_x: jnp.ndarray,
-                     src_y: jnp.ndarray, precision=None) -> jnp.ndarray:
+                     src_y: jnp.ndarray, precision=None,
+                     dot_dtype=None) -> jnp.ndarray:
     """Bilinear sample for AXIS-ALIGNED maps (rotation == 0): src_x
     constant along rows, src_y constant along columns.  Two hat-weight
     matmuls over the full image — the cheapest exact path, used by the
-    whole-image detection warp and the embeddings crop."""
+    whole-image detection warp and the embeddings crop.
+
+    ``dot_dtype=jnp.bfloat16`` runs the matmuls in bf16 with f32
+    accumulation: uint8 pixels are exact in bf16, so only the hat
+    weights round (~2^-8 relative) — at most one uint8 quantization
+    level on the output, the same contract as the Pallas warp kernel's
+    bf16 dots.  Halves the matmul HBM traffic (the detection warp is
+    the cascade's largest non-CNN cost)."""
     h, w, c = image.shape
     ho, wo = src_x.shape
     xs = src_x[0]            # [Wo]
     ys = src_y[:, 0]         # [Ho]
     wx = _hat(jnp.arange(w, dtype=jnp.float32)[None, :] - xs[:, None])
     wy = _hat(jnp.arange(h, dtype=jnp.float32)[None, :] - ys[:, None])
-    t1 = jnp.dot(wy, image.reshape(h, -1),
-                 precision=precision).reshape(ho, w, c)      # [Ho, W, C]
-    out = jnp.einsum("ox,hxc->hoc", wx, t1, precision=precision)
+    if dot_dtype is not None:
+        image = image.astype(dot_dtype)
+        wx = wx.astype(dot_dtype)
+        wy = wy.astype(dot_dtype)
+    t1 = jnp.dot(wy, image.reshape(h, -1), precision=precision,
+                 preferred_element_type=jnp.float32
+                 ).reshape(ho, w, c)                         # [Ho, W, C]
+    if dot_dtype is not None:
+        # f32 accumulate, bf16 storage for the big intermediate
+        t1 = t1.astype(dot_dtype)
+    out = jnp.einsum("ox,hxc->hoc", wx, t1, precision=precision,
+                     preferred_element_type=jnp.float32)
     return out
 
 
@@ -244,7 +261,8 @@ def warp_image_to_tensor(image: jnp.ndarray,
                          quantize_uint8: bool = True,
                          method: str = "gather",
                          band: int = 32,
-                         precision=None):
+                         precision=None,
+                         dot_dtype=None):
     """The fused ``image_to_tensor``: one resampling pass + one fma.
 
     Args:
@@ -294,7 +312,8 @@ def warp_image_to_tensor(image: jnp.ndarray,
     elif method == "mxu":
         out = mxu_sample(img, src_x, src_y, band=band, precision=precision)
     elif method == "separable":
-        out = separable_sample(img, src_x, src_y, precision=precision)
+        out = separable_sample(img, src_x, src_y, precision=precision,
+                               dot_dtype=dot_dtype)
     else:
         out = bilinear_sample(img, src_x, src_y)
     return _normalize_pixels(out, output_range, quantize_uint8), padding

@@ -121,6 +121,7 @@ class FaceCascade:
         _, self.mesh_h, self.mesh_w, _ = mesh_graph.input_shape
         _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
         self._warp = image_ops.resolve_warp_method(warp_method)
+        self._compute_dtype = compute_dtype
         self.max_faces = max_faces
         # weighted-NMS candidate-pool bound; raise for crowded scenes
         # (see models/face_detection.py nms_top_m)
@@ -153,11 +154,21 @@ class FaceCascade:
         # device traces attribute fused ops to stages (utils/profiling).
         with jax.named_scope("tpu_face.detect"):
             whole = jnp.array([0.5 * w, 0.5 * h, w, h, 0.0], jnp.float32)
+            # bf16 hat-matmul dots for the big-frame detection warp
+            # (same one-uint8-level contract as the Pallas kernel):
+            # XLA's DEFAULT matmul precision already computes in bf16,
+            # so this only halves the [Ho, W, 3] intermediate's storage
+            # — a wash at 540p, real traffic at >=720p.  The f32 mode
+            # stays fully exact for the bench's accuracy fallback.
+            dot_dtype = (jnp.bfloat16
+                         if (self._compute_dtype == jnp.bfloat16
+                             and max(w, h) > 720) else None)
             tensor, padding = image_ops.warp_image_to_tensor(
                 img, whole, (self.det_w, self.det_h),
                 keep_aspect_ratio=True, output_range=(-1.0, 1.0),
                 method=("separable" if warp in ("mxu", "pallas")
-                        else warp))
+                        else warp),
+                dot_dtype=dot_dtype)
             raw_boxes, raw_scores = self._det_net(tensor[None])
         with jax.named_scope("tpu_face.nms"):
             boxes = post.decode_boxes(raw_boxes[0], self.anchors,
