@@ -92,7 +92,9 @@ def _accuracy_ok(result, img_size=(540, 360)):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=20)
+    # enough iterations that the one guaranteed host fetch at the end
+    # (~2-45 ms tunnel RTT) stays <2% of the measured window
+    ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", choices=["bf16", "f32", "auto"],
                     default="auto")
@@ -161,6 +163,12 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = cascade(batch)
+    # one tiny host fetch instead of trusting block_until_ready: the
+    # device executes enqueued programs in order, so materializing any
+    # leaf of the LAST step proves every iteration finished.  (Through
+    # a tunneled backend block_until_ready has been observed to no-op,
+    # which would silently time dispatch instead of compute.)
+    np.asarray(out.score)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = args.batch * args.iters / dt
@@ -178,7 +186,8 @@ def main():
         lats = []
         for _ in range(30):
             t0 = time.perf_counter()
-            jax.block_until_ready(cascade(one))
+            r = cascade(one)
+            np.asarray(r.score)  # force completion (see note above)
             lats.append(time.perf_counter() - t0)
         p50_ms = float(np.median(lats) * 1e3)
         _log(f"batch-1 p50 latency: {p50_ms:.2f} ms")

@@ -29,13 +29,21 @@ B = 256
 log = lambda m: print(m, file=sys.stderr, flush=True)
 
 
+def _force(out):
+    """Materialize one scalar of the LAST result (in-order device
+    streams => all prior iterations finished); block_until_ready can
+    no-op through the tunneled backend."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def bench(f, *args, iters=20):
-    jax.block_until_ready(f(*args))
-    jax.block_until_ready(f(*args))
+    _force(f(*args))
+    _force(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

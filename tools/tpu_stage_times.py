@@ -18,15 +18,25 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def bench(fn, *args, iters=10, warmup=2):
+def _force(out):
+    """Materialize one scalar of the LAST result: device streams run
+    in order, so this proves every enqueued iteration finished.
+    (block_until_ready has been observed to no-op through the tunneled
+    backend, silently timing dispatch instead of compute.)"""
     import jax
-    jax.block_until_ready(fn(*args))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def bench(fn, *args, iters=10, warmup=2):
+    _force(fn(*args))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -15,14 +15,22 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def bench(fn, *args, iters=10):
+def _force(out):
+    """Materialize one scalar of the LAST result (in-order device
+    streams => all prior iterations finished); block_until_ready can
+    no-op through the tunneled backend."""
     import jax
-    jax.block_until_ready(fn(*args))
-    jax.block_until_ready(fn(*args))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def bench(fn, *args, iters=20):
+    _force(fn(*args))
+    _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
