@@ -10,10 +10,11 @@ for (docs/experiments/fused_block_prototype.py):
 3. DMA double buffering: chunk j+1's input streams in while chunk j
    computes (2-slot scratch).
 
-Measured on v5e-1 (batch 256, 7 blocks @ 128x128x24, bf16):
-    XLA 7-block sequence : 10.69 ms/step
-    this kernel          : 17.26 ms/step
-CONCLUSION: XLA wins 1.6x and the loss is structural, not tunable.  The
+Measured on v5e-1 (batch 256, 7 blocks @ 128x128x24, bf16; hardened
+timing protocol — forced one-scalar materialization, see docs/PERF.md):
+    XLA 7-block sequence : 12.0 ms/step
+    this kernel          : 18.0 ms/step
+CONCLUSION: XLA wins 1.5x and the loss is structural, not tunable.  The
 kernel's floor is the depthwise conv expressed as 9 shifted VPU FMAs
 over a [C=24, 10240] layout: ~12 vector passes/layer x 7 layers ~= 21us
 per grid step = 10.7 ms total across 512 steps — equal to XLA's ENTIRE
@@ -165,11 +166,18 @@ b = jax.block_until_ready(f_pl(x_nhwc))
 print("max diff:", float(jnp.max(jnp.abs(a - b))),
       " (bf16 scale:", float(jnp.max(jnp.abs(a))), ")")
 
+def _force(out):
+    # in-order device streams: one scalar fetch of the last result
+    # proves all prior iterations finished (block_until_ready can
+    # no-op through the tunneled backend)
+    np.asarray(out.ravel()[0])  # on-device slice, 4-byte fetch
+
+
 for name, f in [("xla 7-block bf16", f_xla), ("pallas fused v2", f_pl)]:
     for _ in range(3):
-        jax.block_until_ready(f(x_nhwc))
+        _force(f(x_nhwc))
     t0 = time.perf_counter()
     for _ in range(20):
         o = f(x_nhwc)
-    jax.block_until_ready(o)
+    _force(o)
     print(f"{name}: {(time.perf_counter()-t0)/20*1e3:.2f} ms/step")

@@ -20,6 +20,15 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _force(out):
+    """Materialize one scalar of the LAST result (in-order device
+    streams => all prior iterations finished); block_until_ready can
+    no-op through the tunneled backend."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])  # on-device slice, 4-byte fetch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -84,11 +93,11 @@ def main():
         log(f"{method} batch-{args.batch} compile+run: "
             f"{time.perf_counter()-t0:.1f}s")
         for _ in range(2):
-            jax.block_until_ready(cascade(batch))
+            _force(cascade(batch))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = cascade(batch)
-        jax.block_until_ready(out)
+        _force(out)
         dt = time.perf_counter() - t0
         fps = args.batch * args.iters / dt
         log(f"{method} 1080p: {fps:.1f} frames/s "

@@ -34,7 +34,7 @@ def _force(out):
     streams => all prior iterations finished); block_until_ready can
     no-op through the tunneled backend."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(leaf.ravel()[0])  # on-device slice, 4-byte fetch
 
 
 def bench(f, *args, iters=20):

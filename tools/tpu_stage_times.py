@@ -25,7 +25,7 @@ def _force(out):
     backend, silently timing dispatch instead of compute.)"""
     import jax
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(leaf.ravel()[0])  # on-device slice, 4-byte fetch
 
 
 def bench(fn, *args, iters=10, warmup=2):
