@@ -161,6 +161,34 @@ def test_cascade_1080p_pallas_matches_gather(man_on_1080p):
     assert iris_px.max() <= 1.0, iris_px.max()
 
 
+def test_cascade_strips_multiface():
+    """Full cascade on a >VMEM-threshold frame with max_faces=2: the
+    strips kernel under the cascade's nested faces+batch vmap."""
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+    from tpu_face.utils.image_io import load_image
+
+    man = load_image("/root/reference/test_data/man.jpg")
+    crop = man[40:260, 160:380]  # face crop, 220x220
+    canvas = np.zeros((900, 1440, 3), np.uint8)
+    canvas[160:380, 200:420] = crop
+    canvas[500:720, 900:1120] = crop
+    from tpu_face.ops.pallas_warp import planes_fit_vmem
+    assert not planes_fit_vmem(900, 1440)
+
+    ref = FaceCascade(FaceDetectionModel.FULL_SPARSE, max_faces=2,
+                      warp_method="gather").infer_batch(canvas)
+    out = FaceCascade(FaceDetectionModel.FULL_SPARSE, max_faces=2,
+                      warp_method="pallas").infer_batch(canvas)
+    rv = np.asarray(ref.mesh_valid[0])
+    ov = np.asarray(out.mesh_valid[0])
+    assert rv.sum() == 2 and ov.sum() == 2
+    assert np.asarray(out.envelope_ok[0]).all()
+    mesh_px = np.abs((np.asarray(out.mesh[0]) - np.asarray(ref.mesh[0]))
+                     * np.array([1440.0, 900.0, 1440.0]))
+    assert mesh_px.max() <= 1.0, mesh_px.max()
+
+
 def test_envelope_flag_rejects_oversized_roi():
     """A ROI whose per-block source extent exceeds the static windows
     must report envelope_ok=False (the jitted cascade folds this into
