@@ -119,6 +119,46 @@ def test_image_to_tensor_host_api():
     assert -1.0 <= out.tensor_data.min() and out.tensor_data.max() <= 1.0
 
 
+def test_warp_fuzz_roi_geometry_vs_opencv():
+    """Seeded fuzz over ROI geometry (center/size/rotation, including
+    partially out-of-frame ROIs): the exact gather path must track the
+    OpenCV oracle, and the Pallas kernel (interpreter) must stay within
+    one uint8 level of the gather whenever its envelope admits the
+    geometry."""
+    import jax.numpy as jnp
+
+    from tpu_face.ops import pallas_warp
+
+    rng = np.random.RandomState(123)
+    img = rng.randint(0, 256, (360, 540, 3), np.uint8)
+    imgf = img.astype(np.float32)
+    for trial in range(15):
+        cx = rng.uniform(-50, 590)
+        cy = rng.uniform(-30, 390)
+        size = rng.uniform(40, 420)
+        rot = rng.uniform(-1.2, 1.2)
+        rect = (cx, cy, size, size, rot)
+        out, _ = image_ops.warp_image_to_tensor(
+            jnp.asarray(img), jnp.asarray(np.array(rect, np.float32)),
+            (192, 192), keep_aspect_ratio=False,
+            output_range=(0.0, 1.0), method="gather")
+        out = np.asarray(out)
+        ref = _reference_warp(imgf, rect, (192, 192)) / 255.0
+        # ignore a 2px frame (OpenCV 5-bit fixed point + border rules)
+        diff = np.abs(out[2:-2, 2:-2] - ref[2:-2, 2:-2])
+        assert diff.max() < 0.02, (trial, rect, diff.max())
+
+        sx, sy, _ = image_ops._source_coords(
+            jnp.asarray(np.array(rect, np.float32)), (192, 192),
+            False, False)
+        if bool(pallas_warp.envelope_ok(sx, sy, 32, 64)):
+            pal = np.asarray(pallas_warp.warp_sample(
+                jnp.asarray(imgf), sx, sy, band=64))
+            gat = np.asarray(image_ops.bilinear_sample(
+                jnp.asarray(imgf), sx, sy))
+            assert np.abs(pal - gat).max() <= 1.0, (trial, rect)
+
+
 def test_separable_bf16_within_one_level():
     """bf16-dot separable warp stays within one uint8 quantization
     level of the exact f32 path (the Pallas-kernel contract, now shared
