@@ -91,10 +91,14 @@ def _accuracy_ok(result, img_size=(540, 360)):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    # batch 128 is the measured throughput optimum on v5e-1 (sweep in
+    # docs/PERF.md: 64/96/128/192/256/512/1024 -> 4.6/5.8/6.4/5.2/5.9/
+    # 5.6/5.4 kfps; smaller working set pipelines better than more
+    # amortization)
+    ap.add_argument("--batch", type=int, default=128)
     # enough iterations that the one guaranteed host fetch at the end
     # (~2-45 ms tunnel RTT) stays <2% of the measured window
-    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", choices=["bf16", "f32", "auto"],
                     default="auto")
