@@ -247,9 +247,13 @@ def separable_sample(image: jnp.ndarray, src_x: jnp.ndarray,
     if dot_dtype is not None:
         # f32 accumulate, bf16 storage for the big intermediate
         t1 = t1.astype(dot_dtype)
-    out = jnp.einsum("ox,hxc->hoc", wx, t1, precision=precision,
-                     preferred_element_type=jnp.float32)
-    return out
+    # x-contraction as ONE plain matmul on a [W, Ho*C] relayout rather
+    # than einsum('ox,hxc->hoc', ...): the einsum lowers to Ho batched
+    # matvecs (~7% slower on v5e, tools/tpu_sep_probe.py)
+    t1t = t1.transpose(1, 0, 2).reshape(w, ho * c)
+    out = jnp.dot(wx, t1t, precision=precision,
+                  preferred_element_type=jnp.float32)        # [Wo, Ho*C]
+    return out.reshape(wo, ho, c).transpose(1, 0, 2)
 
 
 def warp_image_to_tensor(image: jnp.ndarray,
