@@ -110,6 +110,9 @@ def main():
                          "frame has different ROI geometry")
     ap.add_argument("--skip-p50", action="store_true",
                     help="skip the batch-1 p50 latency measurement")
+    ap.add_argument("--tracking", action="store_true",
+                    help="also measure video tracking mode (detector "
+                         "skipped while all streams stay locked)")
     args = ap.parse_args()
 
     import jax
@@ -196,6 +199,28 @@ def main():
         p50_ms = float(np.median(lats) * 1e3)
         _log(f"batch-1 p50 latency: {p50_ms:.2f} ms")
 
+    tracking_fps = None
+    if args.tracking:
+        from tpu_face.tracking import FaceTracker
+
+        tracker = FaceTracker(model,
+                              compute_dtype=(jnp.bfloat16
+                                             if chosen == "bf16"
+                                             else jnp.float32))
+        r = tracker.step(batch)        # lock (full path) + compile
+        np.asarray(r.score)
+        assert tracker.tracking.all(), "tracking failed to lock"
+        r = tracker.step(batch)        # compile tracked path
+        np.asarray(r.score)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = tracker.step(batch)
+        np.asarray(r.score)
+        dt = time.perf_counter() - t0
+        tracking_fps = args.batch * args.iters / dt
+        _log(f"tracking mode: {tracking_fps:.1f} frames/s "
+             f"({dt / args.iters * 1e3:.2f} ms/step, detector skipped)")
+
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
     record = {
         "metric": "cascade_fps_per_chip",
@@ -206,6 +231,8 @@ def main():
     }
     if p50_ms is not None:
         record["p50_batch1_ms"] = round(p50_ms, 2)
+    if tracking_fps is not None:
+        record["tracking_fps_per_chip"] = round(tracking_fps, 1)
     print(json.dumps(record))
 
 

@@ -1,0 +1,99 @@
+"""FaceTracker video mode: detection-free tracking loop.
+
+The tracked path derives each frame's mesh ROI from the previous
+frame's landmarks (MediaPipe's production loop; the reference has no
+video mode).  Tracked meshes must match the full per-frame cascade
+within a small pixel budget, and loss/recovery must behave.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_face.models.face_detection import FaceDetectionModel
+from tpu_face.pipeline import FaceCascade
+from tpu_face.tracking import FaceTracker, roi_from_mesh
+from tpu_face.utils.image_io import load_image
+
+MAN = "/root/reference/test_data/man.jpg"
+
+
+@pytest.fixture(scope="module")
+def video():
+    """Synthetic pan: man.jpg circularly shifted a few px per frame."""
+    img = load_image(MAN)
+    return [np.roll(np.roll(img, 3 * i, axis=1), 2 * i, axis=0)
+            for i in range(5)]
+
+
+def test_tracker_locks_then_tracks(video):
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    cascade = FaceCascade(FaceDetectionModel.BACK_CAMERA)
+    for i, frame in enumerate(video):
+        res = tracker.step(frame)
+        assert bool(np.asarray(res.mesh_valid[0])), i
+        assert tracker.tracking.all(), i
+        full = cascade.infer_batch(frame[None])
+        dn = np.abs((np.asarray(res.mesh[0]) - np.asarray(full.mesh[0]))
+                    * np.array([540.0, 360.0, 540.0]))
+        # tracked ROI differs from the detection ROI (landmark bbox vs
+        # detection bbox), so meshes agree to a few px, not exactly
+        assert dn[:, :2].max() <= 3.0, (i, dn[:, :2].max())
+
+
+def test_tracker_loss_and_recovery(video):
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    res = tracker.step(video[0])
+    assert tracker.tracking.all()
+    # lost: black frame -> invalid, next step redetects
+    res = tracker.step(np.zeros_like(video[0]))
+    assert not bool(np.asarray(res.mesh_valid[0]))
+    assert not tracker.tracking.any()
+    res = tracker.step(video[1])
+    assert bool(np.asarray(res.mesh_valid[0]))
+    assert tracker.tracking.all()
+
+
+def test_tracker_batch_streams(video):
+    """Two parallel streams with independent state."""
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    batch0 = np.stack([video[0], video[1]])
+    res = tracker.step(batch0)
+    assert np.asarray(res.mesh_valid).all()
+    assert tracker.tracking.shape == (2,)
+    # one stream goes black: batch falls back to the full path and the
+    # black stream is invalid while the live one stays valid
+    batch1 = np.stack([video[2], np.zeros_like(video[0])])
+    res = tracker.step(batch1)
+    valid = np.asarray(res.mesh_valid)
+    assert bool(valid[0]) and not bool(valid[1])
+
+
+def test_redetect_every_forces_detection(video):
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                          redetect_every=2)
+    for frame in video:
+        res = tracker.step(frame)
+        assert bool(np.asarray(res.mesh_valid[0]))
+
+
+def test_roi_from_mesh_matches_cascade_roi(video):
+    """The landmark-derived ROI lands near the detection-derived one
+    (same face, scale 1.5 square-long on slightly different boxes)."""
+    cascade = FaceCascade(FaceDetectionModel.BACK_CAMERA)
+    full = cascade.infer_batch(video[0][None])
+    roi = np.asarray(roi_from_mesh(full.mesh[0], (540, 360)))
+    ref = np.asarray(full.face_roi[0]) * np.array(
+        [540.0, 360.0, 540.0, 360.0, 1.0])
+    assert abs(roi[0] - ref[0]) < 15 and abs(roi[1] - ref[1]) < 15
+    assert 0.75 < roi[2] / ref[2] < 1.3
+    assert abs(roi[4] - ref[4]) < 0.15
+
+
+def test_tracker_reset(video):
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    tracker.step(video[0])
+    assert tracker.tracking.all()
+    tracker.reset()
+    assert tracker.tracking.shape == (0,)
+    tracker.step(video[1])
+    assert tracker.tracking.all()

@@ -201,18 +201,22 @@ class FaceCascade:
         return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
 
     def _face_stages(self, img, planes, det, score, face_valid,
-                     image_size, warp):
+                     image_size, warp, face_roi_abs=None):
         """Stages 2-6 for one detected face (vmapped when
-        ``max_faces > 1``)."""
+        ``max_faces > 1``).  ``face_roi_abs`` overrides stage 2 when
+        the ROI comes from elsewhere (the tracking loop derives it
+        from the previous frame's landmarks, tracking.py)."""
         w, h = image_size
         mesh_band, iris_band = self._bands(image_size)
 
-        # Stage 2: face ROI (face_landmark.rs:180-198); keypoint rows
-        # 2 (left eye) and 3 (right eye), scale 1.5, square-long.
-        face_roi_abs = _bbox_to_roi_abs(
-            det[0, 0], det[0, 1], det[1, 0], det[1, 1],
-            det[2] * jnp.array([w, h]), det[3] * jnp.array([w, h]),
-            MESH_ROI_SCALE, w, h)
+        if face_roi_abs is None:
+            # Stage 2: face ROI (face_landmark.rs:180-198); keypoint
+            # rows 2 (left eye) and 3 (right eye), scale 1.5,
+            # square-long.
+            face_roi_abs = _bbox_to_roi_abs(
+                det[0, 0], det[0, 1], det[1, 0], det[1, 1],
+                det[2] * jnp.array([w, h]), det[3] * jnp.array([w, h]),
+                MESH_ROI_SCALE, w, h)
 
         # Stage 3: face mesh (face_landmark.rs:232-305); the standalone
         # FaceLandmark model remains the exact path for extreme

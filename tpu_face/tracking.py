@@ -1,0 +1,166 @@
+"""FaceTracker: video-mode cascade with detection-free tracking.
+
+MediaPipe's production face pipeline runs the detector only when
+tracking is lost: while the previous frame's mesh presence stays above
+threshold, the next frame's face ROI is derived from the previous
+landmarks (bbox over all 468 points + rotation from the eye-outer
+landmarks, scale 1.5 square-long) and only the mesh+iris stages run.
+The reference library has no video mode (every frame pays detection);
+this is the TPU-native equivalent of the upstream
+face_landmark_front.pbtxt tracking loop, kept entirely on device.
+
+One jitted step serves B parallel streams: state is (roi [B,5],
+valid [B]).  A batch-level ``lax.cond`` picks between the full cascade
+(any stream lost) and the tracking-only program (all locked), so the
+detector's CNN — the dominant stage cost — is genuinely skipped at
+runtime, not masked.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.face_detection import FaceDetectionModel
+from .models.face_landmark import ROI_SCALE as MESH_ROI_SCALE
+from .pipeline import CascadeResult, FaceCascade, _bbox_to_roi_abs
+
+# rotation keypoints for landmark-derived ROIs: eye outer corners
+# (same pair the upstream graph uses; also iris_landmark.rs:29-35's
+# left-eye start / right-eye end indices)
+_ROT_LEFT = 33
+_ROT_RIGHT = 263
+
+
+class TrackerState(NamedTuple):
+    roi: jnp.ndarray     # [B, 5] absolute (cx, cy, w, h, rot)
+    valid: jnp.ndarray   # [B] bool: ROI usable for the next frame
+
+
+def roi_from_mesh(mesh: jnp.ndarray, image_size: Tuple[int, int]
+                  ) -> jnp.ndarray:
+    """Next-frame face ROI from a [468, 3] normalized mesh: bbox over
+    all landmarks, rotation from the eye-outer pair, scale 1.5
+    square-long (the tracking analog of face_detection_to_roi,
+    reference face_landmark.rs:180-198)."""
+    w, h = image_size
+    xmin = jnp.min(mesh[:, 0])
+    xmax = jnp.max(mesh[:, 0])
+    ymin = jnp.min(mesh[:, 1])
+    ymax = jnp.max(mesh[:, 1])
+    kp0 = mesh[_ROT_LEFT, :2] * jnp.array([w, h], jnp.float32)
+    kp1 = mesh[_ROT_RIGHT, :2] * jnp.array([w, h], jnp.float32)
+    return _bbox_to_roi_abs(xmin, ymin, xmax, ymax, kp0, kp1,
+                            MESH_ROI_SCALE, w, h)
+
+
+class FaceTracker:
+    """Stateful video cascade over B parallel streams.
+
+    >>> tracker = FaceTracker(batch=8)
+    >>> for frames in video_batches:          # [8, H, W, 3] each
+    ...     result = tracker.step(frames)     # CascadeResult
+    """
+
+    def __init__(self,
+                 detection_model: FaceDetectionModel =
+                 FaceDetectionModel.BACK_CAMERA,
+                 model_path: Optional[str] = None,
+                 compute_dtype=jnp.float32,
+                 warp_method: str = "auto",
+                 redetect_every: Optional[int] = None):
+        self.cascade = FaceCascade(detection_model,
+                                   model_path=model_path,
+                                   compute_dtype=compute_dtype,
+                                   warp_method=warp_method,
+                                   max_faces=1)
+        assert self.cascade.max_faces == 1, \
+            "tracking supports one face per stream"
+        # force a detector pass every N steps even while locked (guards
+        # against slow drift); None = only on tracking loss
+        self.redetect_every = redetect_every
+        self._state: Optional[TrackerState] = None
+        self._steps = 0
+        self._jitted = {}
+
+    # ---- jitted step -----------------------------------------------------
+
+    def _tracked_single(self, image, roi_abs, image_size):
+        """Mesh+iris stages only, from a landmark-derived ROI."""
+        c = self.cascade
+        warp = c._warp_for(image_size)
+        planes = None
+        if warp == "pallas":
+            from .ops.pallas_warp import make_planes
+            planes = make_planes(image, band=max(c._bands(image_size)))
+        # detection fields carry the tracked ROI's bbox (score 1.0 =
+        # "locked"); the mesh ROI itself is injected, not rederived
+        w, h = image_size
+        cx, cy, rw, rh = roi_abs[0], roi_abs[1], roi_abs[2], roi_abs[3]
+        half = jnp.stack([rw / w, rh / h]) / 2.0
+        center = jnp.stack([cx / w, cy / h])
+        det = jnp.concatenate([
+            (center - half)[None], (center + half)[None],
+            jnp.zeros((6, 2), jnp.float32)])
+        return c._face_stages(image.astype(jnp.float32), planes, det,
+                              jnp.float32(1.0), jnp.asarray(True),
+                              image_size, warp, face_roi_abs=roi_abs)
+
+    def _step_fn(self, images, roi, valid, force_detect, image_size):
+        c = self.cascade
+        w, h = image_size
+
+        def full_path(_):
+            return jax.vmap(
+                lambda im: c._single(im, image_size))(images)
+
+        def tracked_path(_):
+            return jax.vmap(
+                lambda im, r: self._tracked_single(im, r, image_size)
+            )(images, roi)
+
+        all_locked = jnp.all(valid) & jnp.logical_not(force_detect)
+        res = jax.lax.cond(all_locked, tracked_path, full_path,
+                           operand=None)
+        next_roi = jax.vmap(
+            lambda m: roi_from_mesh(m, image_size))(res.mesh)
+        return res, TrackerState(next_roi, res.mesh_valid)
+
+    def _get_jitted(self, hw):
+        if hw not in self._jitted:
+            h, w = hw
+            self._jitted[hw] = jax.jit(
+                lambda images, roi, valid, force:
+                self._step_fn(images, roi, valid, force, (w, h)))
+        return self._jitted[hw]
+
+    # ---- host API --------------------------------------------------------
+
+    def reset(self):
+        self._state = None
+        self._steps = 0
+
+    def step(self, images) -> CascadeResult:
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        b, h, w, _ = images.shape
+        if self._state is None or self._state.valid.shape[0] != b:
+            self._state = TrackerState(
+                jnp.zeros((b, 5), jnp.float32),
+                jnp.zeros((b,), bool))
+        force = (self.redetect_every is not None
+                 and self._steps % self.redetect_every == 0)
+        res, self._state = self._get_jitted((h, w))(
+            images, self._state.roi, self._state.valid,
+            jnp.asarray(force))
+        self._steps += 1
+        return res
+
+    @property
+    def tracking(self) -> np.ndarray:
+        """Per-stream bool: next step will skip detection iff all True."""
+        if self._state is None:
+            return np.zeros(0, bool)
+        return np.asarray(self._state.valid)
