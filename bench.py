@@ -212,11 +212,16 @@ def main():
         assert tracker.tracking.all(), "tracking failed to lock"
         r = tracker.step(batch)        # compile tracked path
         np.asarray(r.score)
+        assert tracker.tracking.all(), "tracking lost during warmup"
         t0 = time.perf_counter()
         for _ in range(args.iters):
             r = tracker.step(batch)
         np.asarray(r.score)
         dt = time.perf_counter() - t0
+        # the number is only "tracking mode" if lock held the whole
+        # loop — a single lost stream silently re-runs the detector
+        assert tracker.tracking.all(), \
+            "tracking lost mid-loop; tracking_fps would be invalid"
         tracking_fps = args.batch * args.iters / dt
         _log(f"tracking mode: {tracking_fps:.1f} frames/s "
              f"({dt / args.iters * 1e3:.2f} ms/step, detector skipped)")

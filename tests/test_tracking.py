@@ -89,6 +89,20 @@ def test_roi_from_mesh_matches_cascade_roi(video):
     assert abs(roi[4] - ref[4]) < 0.15
 
 
+def test_tracker_resolution_change_resets_state(video):
+    """Absolute-pixel ROIs from one resolution must not be reused on
+    another: switching frame size forces a clean re-detect."""
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    tracker.step(video[0])
+    assert tracker.tracking.all()
+    big = np.repeat(np.repeat(video[1], 2, axis=0), 2, axis=1)
+    res = tracker.step(big)  # 720x1080: state must reset, then detect
+    assert bool(np.asarray(res.mesh_valid[0]))
+    nose = np.asarray(res.mesh[0][1]) * np.array([1080.0, 720.0, 1.0])
+    # ~2x the 540p nose position (detection-accurate, not stale-ROI)
+    assert abs(nose[0] - 2 * 266.9) < 8 and abs(nose[1] - 2 * 145.4) < 8
+
+
 def test_tracker_reset(video):
     tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
     tracker.step(video[0])

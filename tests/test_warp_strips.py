@@ -189,6 +189,32 @@ def test_cascade_strips_multiface():
     assert mesh_px.max() <= 1.0, mesh_px.max()
 
 
+def test_standalone_models_dispatch_oversized_roi_to_gather():
+    """Standalone host APIs have concrete ROIs: a 'pallas' request whose
+    geometry exceeds the kernel envelope must produce the exact-gather
+    result (host-side dispatch), not silently clamped taps."""
+    from tpu_face.models import FaceLandmark
+    from tpu_face.ops.pallas_warp import envelope_ok_host
+    from tpu_face.types import Rect
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    # ROI 3.2x the frame width: far beyond any 128-lane x-window
+    huge = Rect(0.5, 0.5, 3.2, 3.2, 0.3, normalized=True)
+    assert not envelope_ok_host(
+        np.array([270.0, 180.0, 3.2 * 540, 3.2 * 360, 0.3]),
+        (192, 192), False, 32, 64)
+    ref = FaceLandmark(warp_method="gather")
+    out = FaceLandmark(warp_method="pallas")
+    a = ref.infer(img, huge)
+    b = out.infer(img, huge)
+    assert len(a) == len(b)
+    if a:  # presence may legitimately be low on a mostly-empty crop
+        pts_a = np.array([[p.x, p.y] for p in a])
+        pts_b = np.array([[p.x, p.y] for p in b])
+        np.testing.assert_allclose(pts_b, pts_a, atol=1e-5)
+
+
 def test_envelope_flag_rejects_oversized_roi():
     """A ROI whose per-block source extent exceeds the static windows
     must report envelope_ok=False (the jitted cascade folds this into

@@ -10,7 +10,7 @@ batched via vmap in the cascade layer.
 """
 
 import enum
-from functools import lru_cache
+from functools import lru_cache, partial
 from pathlib import Path
 from typing import List, Optional
 
@@ -103,13 +103,13 @@ class FaceDetection:
 
     # ---- the fused device program -------------------------------------
 
-    def _pipeline(self, image_f32, roi_abs):
+    def _pipeline(self, image_f32, roi_abs, method=None):
         """[H,W,3] f32 + (5,) abs ROI -> (data [T,P,2], score [T],
         valid [T]).  Entirely on device."""
         tensor, padding = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=True, output_range=(-1.0, 1.0),
-            method=self._warp,
+            method=method or self._warp,
             band=image_ops.auto_band(
                 max(image_f32.shape[0], image_f32.shape[1]),
                 self.in_h))
@@ -124,16 +124,18 @@ class FaceDetection:
         out_d = post.letterbox_removal(out_d, padding)
         return out_d, out_s, out_v
 
-    def _get_jitted(self, h, w):
-        key = (h, w)
+    def _get_jitted(self, h, w, method):
+        key = (h, w, method)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._pipeline)
+            self._jitted[key] = jax.jit(
+                partial(self._pipeline, method=method))
         return self._jitted[key]
 
-    def _get_jitted_batch(self, h, w):
-        key = ("batch", h, w)
+    def _get_jitted_batch(self, h, w, method):
+        key = ("batch", h, w, method)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(jax.vmap(self._pipeline))
+            self._jitted[key] = jax.jit(jax.vmap(
+                partial(self._pipeline, method=method)))
         return self._jitted[key]
 
     # ---- host API ------------------------------------------------------
@@ -147,7 +149,10 @@ class FaceDetection:
             r = roi.scaled((float(w), float(h)), normalize=False)
             roi_abs = np.array([r.x_center, r.y_center, r.width, r.height,
                                 r.rotation], np.float32)
-        out_d, out_s, out_v = self._get_jitted(h, w)(
+        # explicit ROIs beyond the Pallas envelope take the exact gather
+        method = image_ops.choose_warp_method(
+            self._warp, roi_abs, (w, h), (self.in_w, self.in_h), True)
+        out_d, out_s, out_v = self._get_jitted(h, w, method)(
             jnp.asarray(img), jnp.asarray(roi_abs))
         out_d, out_s, out_v = (np.asarray(out_d), np.asarray(out_s),
                                np.asarray(out_v))
@@ -163,7 +168,9 @@ class FaceDetection:
         b, h, w = images.shape[:3]
         rois = np.broadcast_to(
             np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32), (b, 5))
-        out_d, out_s, out_v = self._get_jitted_batch(h, w)(
+        method = image_ops.choose_warp_method(
+            self._warp, rois[0], (w, h), (self.in_w, self.in_h), True)
+        out_d, out_s, out_v = self._get_jitted_batch(h, w, method)(
             jnp.asarray(images), jnp.asarray(np.ascontiguousarray(rois)))
         out_d, out_s, out_v = (np.asarray(out_d), np.asarray(out_s),
                                np.asarray(out_v))

@@ -129,7 +129,7 @@ class FaceLandmark:
 
     # ---- the fused device program -------------------------------------
 
-    def _pipeline(self, image_f32, roi_abs, image_size):
+    def _pipeline(self, image_f32, roi_abs, image_size, method=None):
         """[H,W,3] f32 + (5,) abs ROI -> (landmarks [468,3] normalized,
         presence score scalar).  Entirely on device.
 
@@ -141,7 +141,7 @@ class FaceLandmark:
         tensor, padding = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=False, output_range=(0.0, 1.0),
-            method=self._warp,
+            method=method or self._warp,
             band=image_ops.auto_band(
                 max(image_f32.shape[0], image_f32.shape[1]),
                 self.in_h))
@@ -152,11 +152,12 @@ class FaceLandmark:
             padding, roi_abs)
         return landmarks, score
 
-    def _get_jitted(self, h, w):
-        key = (h, w)
+    def _get_jitted(self, h, w, method):
+        key = (h, w, method)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
-                partial(self._pipeline, image_size=(w, h)))
+                partial(self._pipeline, image_size=(w, h),
+                        method=method))
         return self._jitted[key]
 
     # ---- host API ------------------------------------------------------
@@ -170,8 +171,12 @@ class FaceLandmark:
             r = roi.scaled((float(w), float(h)), normalize=False)
             roi_abs = np.array([r.x_center, r.y_center, r.width, r.height,
                                 r.rotation], np.float32)
-        lmk, score = self._get_jitted(h, w)(jnp.asarray(img),
-                                            jnp.asarray(roi_abs))
+        # ROIs beyond the Pallas kernel's sampling envelope take the
+        # exact gather (concrete host-side dispatch)
+        method = image_ops.choose_warp_method(
+            self._warp, roi_abs, (w, h), (self.in_w, self.in_h), False)
+        lmk, score = self._get_jitted(h, w, method)(jnp.asarray(img),
+                                                    jnp.asarray(roi_abs))
         if float(score) <= DETECTION_THRESHOLD:
             return []
         lmk = np.asarray(lmk)
@@ -187,10 +192,13 @@ class FaceLandmark:
         b, h, w = images.shape[:3]
         roi_abs = np.stack([
             _rect_to_abs(r, w, h) for r in rois]).astype(np.float32)
-        key = ("batch", h, w)
+        method = image_ops.choose_warp_method(
+            self._warp, roi_abs, (w, h), (self.in_w, self.in_h), False)
+        key = ("batch", h, w, method)
         if key not in self._jitted:
             self._jitted[key] = _jax.jit(_jax.vmap(
-                partial(self._pipeline, image_size=(w, h))))
+                partial(self._pipeline, image_size=(w, h),
+                        method=method)))
         lmk, score = self._jitted[key](jnp.asarray(images),
                                        jnp.asarray(roi_abs))
         return np.asarray(lmk), np.asarray(score)

@@ -238,13 +238,14 @@ class IrisLandmark:
 
     # ---- the fused device program -------------------------------------
 
-    def _pipeline(self, image_f32, roi_abs, flip, image_size):
+    def _pipeline(self, image_f32, roi_abs, flip, image_size,
+                  method=None):
         """[H,W,3] f32 + (5,) abs ROI + traced flip flag ->
         (contour [71,3], iris [5,3]) normalized."""
         tensor, padding = image_ops.warp_image_to_tensor(
             image_f32, roi_abs, (self.in_w, self.in_h),
             keep_aspect_ratio=True, output_range=(0.0, 1.0),
-            flip_horizontal=flip, method=self._warp,
+            flip_horizontal=flip, method=method or self._warp,
             band=image_ops.auto_band(
                 max(image_f32.shape[0], image_f32.shape[1]),
                 self.in_h))
@@ -257,11 +258,12 @@ class IrisLandmark:
             padding, roi_abs, flip_horizontal=flip)
         return contour, iris
 
-    def _get_jitted(self, h, w):
-        key = (h, w)
+    def _get_jitted(self, h, w, method):
+        key = (h, w, method)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
-                partial(self._pipeline, image_size=(w, h)))
+                partial(self._pipeline, image_size=(w, h),
+                        method=method))
         return self._jitted[key]
 
     # ---- host API ------------------------------------------------------
@@ -273,7 +275,9 @@ class IrisLandmark:
         r = roi.scaled((float(w), float(h)), normalize=False)
         roi_abs = np.array([r.x_center, r.y_center, r.width, r.height,
                             r.rotation], np.float32)
-        contour, iris = self._get_jitted(h, w)(
+        method = image_ops.choose_warp_method(
+            self._warp, roi_abs, (w, h), (self.in_w, self.in_h), True)
+        contour, iris = self._get_jitted(h, w, method)(
             jnp.asarray(img), jnp.asarray(roi_abs),
             jnp.asarray(is_right_eye))
         contour = np.asarray(contour)
@@ -292,10 +296,13 @@ class IrisLandmark:
         roi_abs = np.stack([
             _rect_to_abs(r, w, h) for r in rois]).astype(np.float32)
         flips = np.asarray(is_right_eye, bool).reshape(b)
-        key = ("batch", h, w)
+        method = image_ops.choose_warp_method(
+            self._warp, roi_abs, (w, h), (self.in_w, self.in_h), True)
+        key = ("batch", h, w, method)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(jax.vmap(
-                partial(self._pipeline, image_size=(w, h))))
+                partial(self._pipeline, image_size=(w, h),
+                        method=method)))
         contour, iris = self._jitted[key](jnp.asarray(images),
                                           jnp.asarray(roi_abs),
                                           jnp.asarray(flips))

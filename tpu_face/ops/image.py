@@ -332,6 +332,33 @@ def resolve_warp_method(method: str = "auto") -> str:
     return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
+def choose_warp_method(method: str, roi_abs_rows, image_size,
+                       out_size, keep_aspect_ratio: bool) -> str:
+    """Per-call warp dispatch for the standalone models' host APIs.
+
+    Their ROI values are CONCRETE before dispatch, so a "pallas" request
+    whose geometry exceeds the kernel's static sampling envelope can
+    simply take the exact gather instead of silently clamping taps (the
+    fused cascade, whose ROIs are traced, surfaces the same condition
+    dynamically as ``CascadeResult.envelope_ok``)."""
+    if method != "pallas":
+        return method
+    import numpy as np
+
+    from . import pallas_warp
+
+    w, h = image_size
+    cw = pallas_warp.pick_cw(max(w / out_size[0], h / out_size[1]))
+    if cw == 0:
+        return "gather"
+    band = auto_band(max(w, h), out_size[1])
+    rows = np.atleast_2d(np.asarray(roi_abs_rows, np.float32))
+    ok = all(pallas_warp.envelope_ok_host(r, out_size,
+                                          keep_aspect_ratio, cw, band)
+             for r in rows)
+    return "pallas" if ok else "gather"
+
+
 def auto_band(src_extent: int, out_h: int, minimum: int = 48) -> int:
     """Vertical source band sized so the whole-image warp (the largest
     rotation-free ROI a model sees) fits exactly.

@@ -89,6 +89,47 @@ def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
     return 0
 
 
+def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
+                     cw: int, band: int) -> bool:
+    """Host-side (concrete numpy) version of ``envelope_ok`` for the
+    standalone models, whose ROI values are known before dispatch: the
+    per-block source extents follow analytically from the ROI and the
+    letterbox factors (duplicates image._source_coords' derivative
+    algebra — kept in sync with ops/image.py letterbox_padding)."""
+    cx, cy, rw, rh, rot = [float(v) for v in np.asarray(roi_abs)]
+    wo, ho = out_size
+    if keep_aspect_ratio:
+        # letterbox factors, square-output path (transform.rs:236-257)
+        out_aspect = float(out_size[1] // out_size[0])
+        roi_aspect = rh / rw
+        w_i, h_i = np.trunc(rw), np.trunc(rh)
+        if out_aspect > roi_aspect:
+            new_h = np.trunc(rw * out_aspect)
+            pv = (np.trunc((new_h - (new_h * rh) / (rw * out_aspect))
+                           / 2.0)
+                  if new_h != h_i else 0.0)
+            ph = 0.0
+        else:
+            new_w = np.trunc(rh / out_aspect)
+            ph = (np.trunc((new_w - (new_w * out_aspect * rw) / rh)
+                           / 2.0)
+                  if new_w != w_i else 0.0)
+            pv = 0.0
+        qx_u = (w_i + 2.0 * ph) / (wo * max(w_i, 1.0))
+        qy_v = (h_i + 2.0 * pv) / (ho * max(h_i, 1.0))
+    else:
+        qx_u = 1.0 / wo
+        qy_v = 1.0 / ho
+    s, c = np.sin(rot), np.cos(rot)
+    dxdu = abs(qx_u * rw * c)
+    dxdv = abs(qy_v * rh * s)
+    dydu = abs(qx_u * rw * s)
+    dydv = abs(qy_v * rh * c)
+    x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
+    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (ROW_TILE - 1)
+    return bool(x_ext <= 126.0 and y_ext <= band)
+
+
 def envelope_ok(src_x, src_y, cw: int, band: int):
     """Traced per-warp check that a coordinate grid fits the kernel's
     static windows (the docstring's x/y extent constraints).

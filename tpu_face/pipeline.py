@@ -130,16 +130,13 @@ class FaceCascade:
 
     # ---- single-image program (vmapped over batch) ---------------------
 
-    def _warp_for(self, image_size):
-        """Per-geometry warp method.  Frame size no longer gates the
-        Pallas path: beyond ~720p the kernel switches to HBM-resident
-        planes with per-block strip DMA (ops/pallas_warp)."""
-        return self._warp
-
     def _single(self, image, image_size):
         w, h = image_size
         img = image.astype(jnp.float32)
-        warp = self._warp_for(image_size)
+        # frame size does not gate the Pallas path: beyond ~720p the
+        # kernel switches to HBM-resident planes with per-block strip
+        # DMA (ops/pallas_warp.make_planes dispatches residency)
+        warp = self._warp
         # padded channel planes built ONCE per frame, shared by every
         # Pallas warp of the frame (mesh + both irises)
         planes = None

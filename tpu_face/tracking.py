@@ -81,6 +81,7 @@ class FaceTracker:
         # against slow drift); None = only on tracking loss
         self.redetect_every = redetect_every
         self._state: Optional[TrackerState] = None
+        self._state_hw: Optional[Tuple[int, int]] = None
         self._steps = 0
         self._jitted = {}
 
@@ -89,7 +90,7 @@ class FaceTracker:
     def _tracked_single(self, image, roi_abs, image_size):
         """Mesh+iris stages only, from a landmark-derived ROI."""
         c = self.cascade
-        warp = c._warp_for(image_size)
+        warp = c._warp
         planes = None
         if warp == "pallas":
             from .ops.pallas_warp import make_planes
@@ -139,6 +140,7 @@ class FaceTracker:
 
     def reset(self):
         self._state = None
+        self._state_hw = None
         self._steps = 0
 
     def step(self, images) -> CascadeResult:
@@ -146,10 +148,15 @@ class FaceTracker:
         if images.ndim == 3:
             images = images[None]
         b, h, w, _ = images.shape
-        if self._state is None or self._state.valid.shape[0] != b:
+        # stale state is unusable when the batch size OR the frame
+        # resolution changes (ROIs are absolute pixels of the previous
+        # resolution) — start from a clean detect
+        if (self._state is None or self._state.valid.shape[0] != b
+                or self._state_hw != (h, w)):
             self._state = TrackerState(
                 jnp.zeros((b, 5), jnp.float32),
                 jnp.zeros((b,), bool))
+            self._state_hw = (h, w)
         force = (self.redetect_every is not None
                  and self._steps % self.redetect_every == 0)
         res, self._state = self._get_jitted((h, w))(
