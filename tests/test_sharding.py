@@ -50,3 +50,25 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_tracker_matches_single_device():
+    """Video streams sharded over the mesh: lock, then tracked steps
+    match the unsharded tracker."""
+    from tpu_face.parallel import track_sharded
+    from tpu_face.tracking import FaceTracker
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    frames = [np.stack([np.roll(img, 4 * t + i, axis=1)
+                        for i in range(8)]) for t in range(3)]
+
+    mesh = data_parallel_mesh()
+    sharded = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    single = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    for t, batch in enumerate(frames):
+        rs = jax.block_until_ready(track_sharded(sharded, batch, mesh))
+        ru = jax.block_until_ready(single.step(batch))
+        assert sharded.tracking.all() and single.tracking.all(), t
+        np.testing.assert_allclose(np.asarray(rs.mesh),
+                                   np.asarray(ru.mesh), atol=2e-3)

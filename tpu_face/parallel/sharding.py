@@ -55,3 +55,21 @@ def infer_sharded(cascade, images, mesh: Optional[Mesh] = None,
         mesh = data_parallel_mesh(axis_name=axis_name)
     images = shard_batch(jnp.asarray(images), mesh, axis_name)
     return cascade(images)
+
+
+def track_sharded(tracker, images, mesh: Optional[Mesh] = None,
+                  axis_name: str = "data"):
+    """Step a ``FaceTracker`` with its B streams sharded over ``mesh``.
+
+    Streams are data-parallel like cascade frames; the tracker's
+    (roi, valid) state arrays come out of the jitted step sharded like
+    the inputs, so state stays chip-resident across steps.  The only
+    cross-chip communication is the tiny all-reduce behind the
+    "all streams locked" predicate that picks the tracked vs full
+    program each step.
+    """
+    import jax.numpy as jnp
+    if mesh is None:
+        mesh = data_parallel_mesh(axis_name=axis_name)
+    images = shard_batch(jnp.asarray(images), mesh, axis_name)
+    return tracker.step(images)
