@@ -72,3 +72,21 @@ def test_sharded_tracker_matches_single_device():
         assert sharded.tracking.all() and single.tracking.all(), t
         np.testing.assert_allclose(np.asarray(rs.mesh),
                                    np.asarray(ru.mesh), atol=2e-3)
+
+
+def test_sharded_cascade_has_no_collectives():
+    """Scaling hygiene: the batch-sharded cascade must partition into
+    per-chip programs with ZERO cross-chip collectives in steady state
+    (SURVEY.md §2.4 — pure data parallelism; weights replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = data_parallel_mesh()
+    cascade = FaceCascade(FaceDetectionModel.SHORT)
+    fn = cascade._get_jitted(64, 64)
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    hlo = jax.jit(lambda x: fn(x), in_shardings=sh).lower(
+        jax.ShapeDtypeStruct((8, 64, 64, 3), np.uint8)
+    ).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert hlo.count(op) == 0, op
