@@ -164,14 +164,16 @@ def _block_geometry(xs, ys, h, w, band):
     return ystart, xa, xmin - xa, xmin
 
 
-def _block_weights(xs, ys, xmin, ystart, iota_x, iota_y, w, dot_bf16):
-    """Hat weight matrices for one block.
+def _block_weights(xs, ys, xbase, ystart, iota_x, iota_y, w, dot_bf16):
+    """Hat weight matrices for one block (``xbase`` = first tap column:
+    ``xmin`` for the rolled 128-lane window, ``xa`` for the wide
+    roll-free window).
 
     tap validity (x < w) zeroes any tap beyond the true image width, so
     when the xa clip binds and the roll wraps padded columns onto real
     pixels the wrapped taps carry no weight — the zero-border semantics
     survive without extra padding."""
-    tap_x = iota_x + xmin.astype(jnp.float32)
+    tap_x = iota_x + xbase.astype(jnp.float32)
     wx = _hat(tap_x - xs) * (tap_x < w).astype(jnp.float32)
     wy = _hat(iota_y + ystart.astype(jnp.float32) - ys)  # [band, PB]
     if dot_bf16:
@@ -189,20 +191,29 @@ def _block_dot(window, wx, wy, dot_bf16):
 
 
 def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
-                 band, dot_bf16):
+                 band, dot_bf16, wide):
     """One row-tile of CB [ROW_TILE, cw] output blocks, planes resident.
 
     r/g/b_ref: [Hp, Wp] f32 channel planes (padded, whole-call VMEM);
     xs_ref/ys_ref: [1, CB, 1, PB] block-flattened coords;
     out_ref: [1, 3, CB, PB] f32.
+
+    ``wide`` selects the x-window strategy: False lane-rolls each
+    channel strip to a 128-lane window starting at xmin (small hat
+    matrices, 3 VPU rolls per block); True skips the rolls and builds
+    hat weights over the full 256-lane aligned load (2x the hat build
+    and MXU work, zero roll traffic).  Measured on v5e the rolls WIN
+    (mesh warp 6.32 vs 6.74 ms at batch 128, tools/tpu_wide_probe.py),
+    so False stays the default; wide mode also admits ~2x larger
+    x-extents, which a caller may someday want more than the ~6%.
     """
     h = r_ref.shape[0]
     w = r_ref.shape[1]
     cb_count = xs_ref.shape[1]
     pb = xs_ref.shape[3]
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, pb), 0
-                                      ).astype(jnp.float32)
+    iota_x = jax.lax.broadcasted_iota(
+        jnp.int32, (XLOAD if wide else XWIN, pb), 0).astype(jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
                                       ).astype(jnp.float32)
 
@@ -210,17 +221,18 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
         xs = xs_ref[0, cb]                                # [1, PB]
         ys = ys_ref[0, cb]
         ystart, xa, off, xmin = _block_geometry(xs, ys, h, w, band)
-        wx, wy = _block_weights(xs, ys, xmin, ystart, iota_x, iota_y,
-                                w, dot_bf16)
+        wx, wy = _block_weights(xs, ys, xa if wide else xmin, ystart,
+                                iota_x, iota_y, w, dot_bf16)
         for c, ref in enumerate((r_ref, g_ref, b_ref)):
             strip = ref[pl.ds(ystart, band), pl.ds(xa, XLOAD)]
-            window = pltpu.roll(strip, -off, axis=1)[:, :XWIN]
+            window = (strip if wide
+                      else pltpu.roll(strip, -off, axis=1)[:, :XWIN])
             out_ref[0, c, cb, :] = _block_dot(window, wx, wy, dot_bf16)
 
 
 def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
                         strip_ref, sem_ref, *, band, dot_bf16,
-                        plane_ratio):
+                        plane_ratio, wide):
     """The same row-tile program with HBM-resident planes: each block
     DMAs only its [band, XLOAD] source strip into a double-buffered
     VMEM scratch, so arbitrarily large frames never have to fit VMEM.
@@ -238,8 +250,8 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     pb = xs_ref.shape[4]
     b = pl.program_id(0) // plane_ratio
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (XWIN, pb), 0
-                                      ).astype(jnp.float32)
+    iota_x = jax.lax.broadcasted_iota(
+        jnp.int32, (XLOAD if wide else XWIN, pb), 0).astype(jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
                                       ).astype(jnp.float32)
 
@@ -268,12 +280,13 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
         xs = xs_ref[0, 0, cb]
         ys = ys_ref[0, 0, cb]
         ystart, xa, off, xmin = geom[cb]
-        wx, wy = _block_weights(xs, ys, xmin, ystart, iota_x, iota_y,
-                                w, dot_bf16)
+        wx, wy = _block_weights(xs, ys, xa if wide else xmin, ystart,
+                                iota_x, iota_y, w, dot_bf16)
         for c in range(3):
             _dma(cb, slot, c).wait()
-            window = pltpu.roll(strip_ref[slot, c], -off,
-                                axis=1)[:, :XWIN]
+            window = (strip_ref[slot, c] if wide
+                      else pltpu.roll(strip_ref[slot, c], -off,
+                                      axis=1)[:, :XWIN])
             out_ref[0, 0, c, cb, :] = _block_dot(window, wx, wy,
                                                  dot_bf16)
 
@@ -281,7 +294,8 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
 _STRIPS_FNS = {}
 
 
-def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool):
+def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
+                   wide: bool):
     """Cached ``jax.custom_vmap`` wrapper around the strip-DMA
     pallas_call.
 
@@ -293,7 +307,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool):
     batch) flatten consistently because coords and planes grow by the
     same leading factor whenever both are batched, and only GP == 1
     levels (shared frame planes across faces) are ever unbatched."""
-    key = (band, dot_bf16, interpret)
+    key = (band, dot_bf16, interpret, wide)
     if key in _STRIPS_FNS:
         return _STRIPS_FNS[key]
 
@@ -309,7 +323,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool):
                                   memory_space=pltpu.VMEM)
         return pl.pallas_call(
             partial(_warp_kernel_strips, band=band, dot_bf16=dot_bf16,
-                    plane_ratio=gc // gp),
+                    plane_ratio=gc // gp, wide=wide),
             grid=(gc, t),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), coord_spec,
                       coord_spec],
@@ -378,7 +392,7 @@ def make_planes(image_hwc: jnp.ndarray, band: int = 48):
 
 def warp_sample_multi(image_hwc, coords, band: int = 48,
                       dot_dtype=jnp.bfloat16, interpret: bool = False,
-                      planes=None, cw: int = 32):
+                      planes=None, cw: int = 32, wide: bool = False):
     """Bilinear-sample several same-width output grids from one frame
     in one pallas_call (single VMEM fetch of the planes).
 
@@ -397,6 +411,9 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
       cw: output columns per block (32 or 16); smaller cw halves the
         per-block x-extent so larger ROI-to-output scales fit the
         128-lane window (see pick_cw).
+      wide: True skips the per-channel lane roll and builds hat weights
+        over the full 256-lane aligned load instead (2x hat-build and
+        MXU work, zero roll) — same output, different VPU/MXU trade.
 
     Returns: list of [Ho_i, Wo, 3] f32 sampled pixels.
     """
@@ -434,7 +451,8 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
         plane_spec = pl.BlockSpec((hp, wp), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            partial(_warp_kernel, band=band, dot_bf16=dot_bf16),
+            partial(_warp_kernel, band=band, dot_bf16=dot_bf16,
+                    wide=wide),
             grid=(t_total,),
             in_specs=[plane_spec, plane_spec, plane_spec, coord_spec,
                       coord_spec],
@@ -446,7 +464,7 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
             interpret=interpret,
         )(*planes, xs, ys)
     else:
-        fn = _get_strips_fn(band, dot_bf16, interpret)
+        fn = _get_strips_fn(band, dot_bf16, interpret, wide)
         out = fn(planes[None], xs[None], ys[None])[0]
 
     # split segments; [T, 3, CB, PB] -> [Ho, Wo, 3]
