@@ -1,0 +1,65 @@
+"""CLI driver tests (``python -m tpu_face ...``): JSON contract and
+ground-truth agreement on the reference test image.
+
+The reference's equivalent surface is its example binaries
+(reference: examples/face_detection.rs:6-18), which are stale and do
+not compile; the CLI is tested against the same BASELINE.md numbers as
+the library.
+"""
+
+import json
+
+import pytest
+
+from tpu_face.__main__ import main
+
+MAN = "/root/reference/test_data/man.jpg"
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_info(capsys):
+    rc, d = _run(capsys, ["info"])
+    assert rc == 0
+    assert d["backend"] == "cpu"
+    assert "back" in d["models"]
+
+
+def test_cli_detect_matches_baseline(capsys):
+    rc, d = _run(capsys, ["detect", MAN, "--model", "back",
+                          "--pixels"])
+    assert rc == 0
+    assert len(d["faces"]) == 1
+    f = d["faces"][0]
+    assert f["score"] == pytest.approx(0.9595, abs=0.002)
+    assert f["bbox"] == pytest.approx([195.6, 74.1, 334.9, 213.4],
+                                      abs=1.0)
+    assert len(f["keypoints"]) == 6
+
+
+def test_cli_iris_full_chain(tmp_path, capsys):
+    png = str(tmp_path / "iris.png")
+    rc, d = _run(capsys, ["iris", MAN, "--pixels", "--render", png])
+    assert rc == 0
+    assert len(d["mesh"]) == 468
+    # refined mesh: eye contour rows replaced by iris-stage output
+    assert d["mesh"][1][0] == pytest.approx(263.85, abs=1.0)
+    assert d["iris_left"][0][:2] == pytest.approx([236.17, 108.88],
+                                                  abs=1.0)
+    assert d["iris_right"][0][:2] == pytest.approx([290.88, 108.35],
+                                                   abs=1.0)
+    assert all(8.0 < v < 14.0 for v in d["iris_diameter_px"])
+    import os
+    assert os.path.getsize(png) > 10000
+
+
+def test_cli_embed_reports_missing_model(capsys):
+    # the embeddings model is not bundled (reference README.md:9-10);
+    # the CLI must fail cleanly with a remediation message
+    rc, d = _run(capsys, ["embed", MAN, MAN])
+    assert rc == 1
+    assert "convert_tflite" in d["error"]

@@ -1,0 +1,251 @@
+"""Command-line driver: ``python -m tpu_face <command> ...``.
+
+The reference ships only (stale) example binaries
+(reference: examples/face_detection.rs:6-18, examples/face_landmark.rs:6-21);
+this CLI exposes the same flows as subcommands with JSON output and
+optional annotated-PNG rendering, runnable on CPU or TPU:
+
+    python -m tpu_face detect  IMG [--model back] [--render out.png]
+    python -m tpu_face mesh    IMG [--render out.png]
+    python -m tpu_face iris    IMG [--render out.png]
+    python -m tpu_face embed   IMG1 IMG2 [--model-path DIR]
+    python -m tpu_face info
+
+``detect`` prints every detection (score, bbox, 6 keypoints);
+``mesh`` adds the 468-point face mesh for the best face; ``iris`` runs
+the full cascade (detect -> mesh -> both irises, the reference's
+integration flow lib.rs:18-84) and renders the bbox+mesh+iris overlay.
+Coordinates in the JSON are normalized to the image; pass ``--pixels``
+for absolute pixel values.
+"""
+
+import argparse
+import json
+import sys
+
+
+def _load(path):
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"))
+    h, w = img.shape[:2]
+    return img, (w, h)
+
+
+def _det_json(d, size, pixels):
+    sx, sy = size if pixels else (1.0, 1.0)
+    return {
+        "score": round(float(d.score), 4),
+        "bbox": [round(float(v), 4) for v in
+                 (d.bbox().xmin * sx, d.bbox().ymin * sy,
+                  d.bbox().xmax * sx, d.bbox().ymax * sy)],
+        "keypoints": [[round(float(d.keypoint(i)[0]) * sx, 4),
+                       round(float(d.keypoint(i)[1]) * sy, 4)]
+                      for i in range(6)],
+    }
+
+
+def _lmk_json(lmks, size, pixels):
+    sx, sy = size if pixels else (1.0, 1.0)
+    return [[round(l.x * sx, 4), round(l.y * sy, 4), round(l.z, 4)]
+            for l in lmks]
+
+
+def _model_enum(name):
+    from .models import FaceDetectionModel
+
+    return {"front": FaceDetectionModel.FRONT_CAMERA,
+            "back": FaceDetectionModel.BACK_CAMERA,
+            "short": FaceDetectionModel.SHORT,
+            "full": FaceDetectionModel.FULL,
+            "full_sparse": FaceDetectionModel.FULL_SPARSE}[name]
+
+
+def cmd_detect(args):
+    from .models import FaceDetection
+
+    img, size = _load(args.image)
+    faces = FaceDetection(_model_enum(args.model),
+                          model_path=args.model_path).infer(img)
+    out = {"image": args.image, "faces":
+           [_det_json(f, size, args.pixels) for f in faces]}
+    if args.render:
+        from .render import Colors, detections_to_render_data, \
+            render_to_image
+        anns = detections_to_render_data(faces,
+                                         bounds_color=Colors.GREEN,
+                                         line_width=4)
+        render_to_image(anns, img).save(args.render)
+        out["render"] = args.render
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_mesh(args):
+    from .models import (FaceDetection, FaceLandmark,
+                         face_detection_to_roi)
+
+    img, size = _load(args.image)
+    faces = FaceDetection(_model_enum(args.model),
+                          model_path=args.model_path).infer(img)
+    if not faces:
+        print(json.dumps({"image": args.image, "faces": []}))
+        return 1
+    roi = face_detection_to_roi(faces[0], size)
+    mesh = FaceLandmark(model_path=args.model_path).infer(img, roi)
+    out = {"image": args.image,
+           "face": _det_json(faces[0], size, args.pixels),
+           "mesh": _lmk_json(mesh, size, args.pixels)}
+    if args.render:
+        from .models import face_landmarks_to_render_data
+        from .render import Colors, render_to_image
+        anns = face_landmarks_to_render_data(mesh, Colors.RED,
+                                             Colors.RED)
+        render_to_image(anns, img).save(args.render)
+        out["render"] = args.render
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_iris(args):
+    from .models import (FaceDetection, FaceLandmark, IrisLandmark,
+                         face_detection_to_roi, get_iris_diameter,
+                         iris_roi_from_face_landmarks,
+                         update_face_landmarks_with_iris_results)
+
+    img, size = _load(args.image)
+    faces = FaceDetection(_model_enum(args.model),
+                          model_path=args.model_path).infer(img)
+    if not faces:
+        print(json.dumps({"image": args.image, "faces": []}))
+        return 1
+    roi = face_detection_to_roi(faces[0], size)
+    mesh = FaceLandmark(model_path=args.model_path).infer(img, roi)
+    l_roi, r_roi = iris_roi_from_face_landmarks(mesh, size)
+    iris = IrisLandmark(model_path=args.model_path)
+    left = iris.infer(img, l_roi)
+    right = iris.infer(img, r_roi, is_right_eye=True)
+    refined = update_face_landmarks_with_iris_results(mesh, left, right)
+    out = {"image": args.image,
+           "face": _det_json(faces[0], size, args.pixels),
+           "mesh": _lmk_json(refined, size, args.pixels),
+           "iris_left": _lmk_json(left.iris, size, args.pixels),
+           "iris_right": _lmk_json(right.iris, size, args.pixels),
+           "iris_diameter_px": [
+               round(get_iris_diameter(left.iris, size), 2),
+               round(get_iris_diameter(right.iris, size), 2)]}
+    if args.render:
+        from .models import (eye_landmarks_to_render_data,
+                             face_landmarks_to_render_data)
+        from .render import Colors, detections_to_render_data, \
+            render_to_image
+        anns = detections_to_render_data(faces,
+                                         bounds_color=Colors.GREEN,
+                                         line_width=4)
+        anns = face_landmarks_to_render_data(refined, Colors.RED,
+                                             Colors.RED, output=anns)
+        anns = eye_landmarks_to_render_data(left.eyeball_contour(),
+                                            Colors.BLUE, Colors.BLUE,
+                                            output=anns)
+        anns = eye_landmarks_to_render_data(right.eyeball_contour(),
+                                            Colors.BLUE, Colors.BLUE,
+                                            output=anns)
+        render_to_image(anns, img).save(args.render)
+        out["render"] = args.render
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_embed(args):
+    from .models import FaceDetection, FaceEmbeddings
+    from .utils.image_io import similarity_score
+
+    try:
+        emb = FaceEmbeddings(model_path=args.model_path)
+    except FileNotFoundError as e:
+        # like the reference, the embeddings model is not bundled
+        # (reference README.md:9-10); point at the converter
+        print(json.dumps({"error": str(e)}))
+        return 1
+    det = FaceDetection(_model_enum(args.model),
+                        model_path=args.model_path)
+    vecs = []
+    for path in (args.image, args.image2):
+        img, size = _load(path)
+        faces = det.infer(img)
+        if not faces:
+            print(json.dumps({"image": path, "error": "no face"}))
+            return 1
+        bbox = faces[0].bbox().scale(size)
+        vecs.append(emb.infer(img, bbox))
+    sim = similarity_score(vecs[0], vecs[1])
+    print(json.dumps({"images": [args.image, args.image2],
+                      "dim": int(vecs[0].shape[-1]),
+                      "cosine_similarity": round(float(sim), 4)}))
+    return 0
+
+
+def cmd_info(args):
+    import jax
+
+    from . import __version__
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "version": __version__,
+        "backend": dev.platform,
+        "device": str(dev.device_kind),
+        "n_devices": jax.device_count(),
+        "models": ["front", "back", "short", "full", "full_sparse",
+                   "face_landmark", "iris_landmark"],
+    }))
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="python -m tpu_face",
+        description=__doc__.split("\n\n")[1])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, two_images=False):
+        p.add_argument("image", help="input image (jpg/png)")
+        if two_images:
+            p.add_argument("image2", help="second image")
+        p.add_argument("--model", default="back",
+                       choices=["front", "back", "short", "full",
+                                "full_sparse"])
+        p.add_argument("--model-path", default=None,
+                       help="directory of converted .npz model graphs")
+        p.add_argument("--pixels", action="store_true",
+                       help="absolute pixel coordinates in the JSON")
+
+    p = sub.add_parser("detect", help="face detection")
+    common(p)
+    p.add_argument("--render", help="write annotated PNG here")
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("mesh", help="468-point face mesh")
+    common(p)
+    p.add_argument("--render", help="write annotated PNG here")
+    p.set_defaults(fn=cmd_mesh)
+
+    p = sub.add_parser("iris", help="full cascade incl. both irises")
+    common(p)
+    p.add_argument("--render", help="write annotated PNG here")
+    p.set_defaults(fn=cmd_iris)
+
+    p = sub.add_parser("embed",
+                       help="face embedding cosine similarity")
+    common(p, two_images=True)
+    p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser("info", help="version / backend / models")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

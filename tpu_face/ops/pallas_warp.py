@@ -67,13 +67,14 @@ XWIN = 128     # working x-window (lanes)
 XLOAD = 2 * XWIN  # aligned load width before the roll
 
 
-def planes_fit_vmem(h: int, w: int, budget_bytes: int = 12 * 2**20
-                    ) -> bool:
-    """Whether three padded f32 planes fit the kernel VMEM residency
-    (single source of truth for the pallas/gather gate)."""
+def planes_fit_vmem(h: int, w: int, budget_bytes: int = 12 * 2**20,
+                    itemsize: int = 4) -> bool:
+    """Whether three padded planes fit the kernel VMEM residency
+    (single source of truth for the pallas/gather gate); bf16 planes
+    (itemsize 2) fit twice the area."""
     hp = -(-h // 8) * 8
     wp = max(-(-w // XWIN) * XWIN, XLOAD)
-    return 3 * 4 * hp * wp <= budget_bytes
+    return 3 * itemsize * hp * wp <= budget_bytes
 
 
 def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
@@ -90,7 +91,7 @@ def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
 
 
 def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
-                     cw: int, band: int) -> bool:
+                     cw: int, band: int, y_align: int = 8) -> bool:
     """Host-side (concrete numpy) version of ``envelope_ok`` for the
     standalone models, whose ROI values are known before dispatch: the
     per-block source extents follow analytically from the ROI and the
@@ -126,25 +127,28 @@ def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
     dydu = abs(qx_u * rw * s)
     dydv = abs(qy_v * rh * c)
     x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
-    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (ROW_TILE - 1)
+    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (y_align - 1)
     return bool(x_ext <= 126.0 and y_ext <= band)
 
 
-def envelope_ok(src_x, src_y, cw: int, band: int):
+def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8):
     """Traced per-warp check that a coordinate grid fits the kernel's
     static windows (the docstring's x/y extent constraints).
 
     The block-local source extents are affine in the output grid, so the
     global derivatives |dx/du|, |dx/dv|, |dy/du|, |dy/dv| measured from
-    the grid's first row/column bound every block.  Returns a traced
-    bool; False means some taps would clamp (callers surface it as a
-    validity flag — a jitted program cannot fall back)."""
+    the grid's first row/column bound every block.  ``y_align`` is the
+    strip-start alignment (8 for f32 planes, 16 for bf16), whose
+    down-rounding adds up to y_align-1 rows of slack the band must
+    absorb.  Returns a traced bool; False means some taps would clamp
+    (callers surface it as a validity flag — a jitted program cannot
+    fall back)."""
     dxdu = jnp.abs(src_x[0, 1] - src_x[0, 0])
     dxdv = jnp.abs(src_x[1, 0] - src_x[0, 0])
     dydu = jnp.abs(src_y[0, 1] - src_y[0, 0])
     dydv = jnp.abs(src_y[1, 0] - src_y[0, 0])
     x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
-    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (ROW_TILE - 1)
+    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (y_align - 1)
     return (x_ext <= 126.0) & (y_ext <= band)
 
 
@@ -152,12 +156,13 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _block_geometry(xs, ys, h, w, band):
-    """Aligned source-strip origin for one output block: 8-aligned row
-    start, 128-aligned column start, and the lane roll offset."""
+def _block_geometry(xs, ys, h, w, band, y_align=8):
+    """Aligned source-strip origin for one output block: sublane-tile-
+    aligned row start (8 rows for f32 planes, 16 for bf16), 128-aligned
+    column start, and the lane roll offset."""
     ymin = jnp.floor(jnp.min(ys)).astype(jnp.int32)
-    ystart = jnp.clip((ymin // 8) * 8, 0, h - band)
-    ystart = pl.multiple_of(ystart, 8)
+    ystart = jnp.clip((ymin // y_align) * y_align, 0, h - band)
+    ystart = pl.multiple_of(ystart, y_align)
     xmin = jnp.clip(jnp.floor(jnp.min(xs)).astype(jnp.int32), 0, w - 1)
     xa = jnp.clip((xmin // XWIN) * XWIN, 0, w - XLOAD)
     xa = pl.multiple_of(xa, XWIN)
@@ -211,6 +216,10 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
     w = r_ref.shape[1]
     cb_count = xs_ref.shape[1]
     pb = xs_ref.shape[3]
+    # bf16 planes need 16-row sublane-tile alignment and have no
+    # 32-bit lane rotate, so they require the roll-free wide window
+    y_align = 16 if r_ref.dtype == jnp.bfloat16 else 8
+    assert wide or y_align == 8, "bf16 planes require wide mode"
 
     iota_x = jax.lax.broadcasted_iota(
         jnp.int32, (XLOAD if wide else XWIN, pb), 0).astype(jnp.float32)
@@ -220,7 +229,8 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
     for cb in range(cb_count):
         xs = xs_ref[0, cb]                                # [1, PB]
         ys = ys_ref[0, cb]
-        ystart, xa, off, xmin = _block_geometry(xs, ys, h, w, band)
+        ystart, xa, off, xmin = _block_geometry(xs, ys, h, w, band,
+                                                y_align)
         wx, wy = _block_weights(xs, ys, xa if wide else xmin, ystart,
                                 iota_x, iota_y, w, dot_bf16)
         for c, ref in enumerate((r_ref, g_ref, b_ref)):
@@ -249,6 +259,8 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     cb_count = xs_ref.shape[2]
     pb = xs_ref.shape[4]
     b = pl.program_id(0) // plane_ratio
+    y_align = 16 if planes_ref.dtype == jnp.bfloat16 else 8
+    assert wide or y_align == 8, "bf16 planes require wide mode"
 
     iota_x = jax.lax.broadcasted_iota(
         jnp.int32, (XLOAD if wide else XWIN, pb), 0).astype(jnp.float32)
@@ -260,7 +272,7 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     geom = []
     for cb in range(cb_count):
         geom.append(_block_geometry(xs_ref[0, 0, cb], ys_ref[0, 0, cb],
-                                    h, w, band))
+                                    h, w, band, y_align))
 
     def _dma(cb, slot, c):
         ystart, xa, _, _ = geom[cb]
@@ -295,7 +307,7 @@ _STRIPS_FNS = {}
 
 
 def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
-                   wide: bool):
+                   wide: bool, plane_dtype=jnp.float32):
     """Cached ``jax.custom_vmap`` wrapper around the strip-DMA
     pallas_call.
 
@@ -307,7 +319,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
     batch) flatten consistently because coords and planes grow by the
     same leading factor whenever both are batched, and only GP == 1
     levels (shared frame planes across faces) are ever unbatched."""
-    key = (band, dot_bf16, interpret, wide)
+    key = (band, dot_bf16, interpret, wide, jnp.dtype(plane_dtype).name)
     if key in _STRIPS_FNS:
         return _STRIPS_FNS[key]
 
@@ -333,7 +345,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
             out_shape=jax.ShapeDtypeStruct((gc, t, 3, cb, pb),
                                            jnp.float32),
             scratch_shapes=[pltpu.VMEM((2, 3, band, XLOAD),
-                                       jnp.float32),
+                                       plane_dtype),
                             pltpu.SemaphoreType.DMA((2, 3))],
             interpret=interpret,
         )(planes, xs, ys)
@@ -370,24 +382,39 @@ def _blocked(a, ho, wo, cw):
             .reshape(t, cb, 1, ROW_TILE * cw))
 
 
-def make_planes(image_hwc: jnp.ndarray, band: int = 48):
-    """Padded f32 channel planes for ``warp_sample_multi``: one fused
+def make_planes(image_hwc: jnp.ndarray, band: int = 48,
+                dtype=jnp.float32):
+    """Padded channel planes for ``warp_sample_multi``: one fused
     pad+convert per channel.  Build ONCE per frame and share across
     every warp call of the frame (the tap-validity mask in the kernel
     works off the padded width, so planes carry no extra metadata).
+
+    ``dtype=jnp.bfloat16`` halves the planes' VMEM/DMA footprint at
+    zero pixel precision loss (uint8 values are exact in bf16); bf16
+    planes require the kernel's roll-free wide mode (Mosaic's lane
+    rotate is 32-bit only) — ``warp_sample_multi`` switches to it
+    automatically.
 
     Returns a LIST of three [Hp, Wp] planes when they fit the VMEM
     residency budget (the resident kernel wants separate 2D refs), or
     one stacked [3, Hp, Wp] array for the HBM strip-DMA kernel on
     larger frames — ``warp_sample_multi`` dispatches on the type."""
     h, w, _ = image_hwc.shape
-    hp = max(-(-h // 8) * 8, band)
+    y_align = 16 if dtype == jnp.bfloat16 else 8
+    hp = max(-(-h // y_align) * y_align,
+             -(-band // y_align) * y_align)
     wp = max(-(-w // XWIN) * XWIN, XLOAD)
+    # Residency is gated at f32 size for EVERY dtype: a 12.5 MB bf16
+    # resident plane set (1080p) fails Mosaic compilation even though
+    # it passes the nominal 12 MB budget — bf16's win is the halved
+    # strip DMA on large frames, not a stretched residency envelope.
     if planes_fit_vmem(hp, wp):
-        return [jnp.pad(image_hwc[..., c].astype(jnp.float32),
+        return [jnp.pad(image_hwc[..., c].astype(dtype),
                         ((0, hp - h), (0, wp - w))) for c in range(3)]
+    # pad/transpose in f32 and cast last: the u8->bf16 pad+transpose
+    # lowers ~2x slower than the f32 one (tools/tpu_1080p_probe.py)
     return jnp.pad(image_hwc.astype(jnp.float32).transpose(2, 0, 1),
-                   ((0, 0), (0, hp - h), (0, wp - w)))
+                   ((0, 0), (0, hp - h), (0, wp - w))).astype(dtype)
 
 
 def warp_sample_multi(image_hwc, coords, band: int = 48,
@@ -443,6 +470,13 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
     hp, wp = (planes[0].shape if resident else planes.shape[1:])
     band = min(band, hp)
     dot_bf16 = dot_dtype == jnp.bfloat16
+    plane_dtype = (planes[0] if resident else planes).dtype
+    if plane_dtype == jnp.bfloat16:
+        # bf16 planes: no 32-bit lane rotate -> wide mode; 16-row
+        # sublane tiles -> band on a 16 boundary
+        assert dot_bf16, "bf16 planes require bf16 dots"
+        wide = True
+        band = min(-(-band // 16) * 16, hp)
 
     if resident:
         coord_spec = pl.BlockSpec((1, cb, 1, pb),
@@ -464,7 +498,8 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
             interpret=interpret,
         )(*planes, xs, ys)
     else:
-        fn = _get_strips_fn(band, dot_bf16, interpret, wide)
+        fn = _get_strips_fn(band, dot_bf16, interpret, wide,
+                            plane_dtype)
         out = fn(planes[None], xs[None], ys[None])[0]
 
     # split segments; [T, 3, CB, PB] -> [Ho, Wo, 3]

@@ -138,12 +138,17 @@ class FaceCascade:
         # DMA (ops/pallas_warp.make_planes dispatches residency)
         warp = self._warp
         # padded channel planes built ONCE per frame, shared by every
-        # Pallas warp of the frame (mesh + both irises)
+        # Pallas warp of the frame (mesh + both irises); dtype per
+        # frame size (_plane_cfg): f32 while VMEM-resident, bf16
+        # beyond (pixel-exact for uint8 sources, halves DMA traffic
+        # and doubles the residency envelope)
         planes = None
         if warp == "pallas":
             from .ops.pallas_warp import make_planes
             # plane height must cover the LARGEST band any warp uses
-            planes = make_planes(image, band=max(self._bands(image_size)))
+            planes = make_planes(image,
+                                 band=max(self._bands(image_size)),
+                                 dtype=self._plane_cfg(image_size)[0])
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
@@ -186,6 +191,23 @@ class FaceCascade:
                                                   dets, out_s, out_v)
 
     @staticmethod
+    def _plane_cfg(image_size):
+        """Warp-plane dtype + strip y-alignment for this frame size.
+
+        f32 planes + the rolled 128-lane window are the fastest
+        measured configuration while they fit VMEM residency
+        (tools/tpu_bf16_planes_probe.py: bf16+wide loses ~6% at 540p
+        because the wide window cancels the vreg saving).  Beyond the
+        f32 residency envelope, bf16 planes (pixel-exact for uint8
+        sources) halve the strip-DMA traffic AND double the residency
+        envelope — 1080p planes stay VMEM-resident in bf16."""
+        from .ops.pallas_warp import planes_fit_vmem
+        w, h = image_size
+        if planes_fit_vmem(h, w):
+            return jnp.float32, 8
+        return jnp.bfloat16, 16
+
+    @staticmethod
     def _bands(image_size):
         """Static warp band sizes scaled to the frame: faces (and so
         ROIs) grow with the frame, and the band must cover
@@ -205,6 +227,7 @@ class FaceCascade:
         from the previous frame's landmarks, tracking.py)."""
         w, h = image_size
         mesh_band, iris_band = self._bands(image_size)
+        y_align = self._plane_cfg(image_size)[1]
 
         if face_roi_abs is None:
             # Stage 2: face ROI (face_landmark.rs:180-198); keypoint
@@ -226,7 +249,8 @@ class FaceCascade:
                 mx, my, mesh_pad = image_ops._source_coords(
                     face_roi_abs, (self.mesh_w, self.mesh_h), False,
                     False)
-                env_ok = env_ok & envelope_ok(mx, my, 32, mesh_band)
+                env_ok = env_ok & envelope_ok(mx, my, 32, mesh_band,
+                                              y_align)
                 (mesh_raw,) = warp_sample_multi(
                     None, [(mx, my)], band=mesh_band, planes=planes)
                 mesh_tensor = image_ops._normalize_pixels(
@@ -270,8 +294,11 @@ class FaceCascade:
                     left_roi, (self.iris_w, self.iris_h), True, False)
                 rx, ry, rp = image_ops._source_coords(
                     right_roi, (self.iris_w, self.iris_h), True, True)
-                env_ok = (env_ok & envelope_ok(lx, ly, 32, iris_band)
-                          & envelope_ok(rx, ry, 32, iris_band))
+                env_ok = (env_ok
+                          & envelope_ok(lx, ly, 32, iris_band,
+                                        y_align)
+                          & envelope_ok(rx, ry, 32, iris_band,
+                                        y_align))
                 lt_raw, rt_raw = warp_sample_multi(
                     None, [(lx, ly), (rx, ry)], band=iris_band,
                     planes=planes)

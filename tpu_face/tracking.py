@@ -94,7 +94,8 @@ class FaceTracker:
         planes = None
         if warp == "pallas":
             from .ops.pallas_warp import make_planes
-            planes = make_planes(image, band=max(c._bands(image_size)))
+            planes = make_planes(image, band=max(c._bands(image_size)),
+                                 dtype=c._plane_cfg(image_size)[0])
         # detection fields carry the tracked ROI's bbox (score 1.0 =
         # "locked"); the mesh ROI itself is injected, not rederived
         w, h = image_size
