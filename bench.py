@@ -113,6 +113,14 @@ def main():
     ap.add_argument("--tracking", action="store_true",
                     help="also measure video tracking mode (detector "
                          "skipped while all streams stay locked)")
+    ap.add_argument("--layout", choices=["hwc", "planar"],
+                    default="hwc",
+                    help="frame layout fed to the cascade: hwc = "
+                         "[B,H,W,3] (reference semantics), planar = "
+                         "[B,3,H,W] channel planes as the native "
+                         "decoder emits them (decode_jpeg_batch("
+                         "planar=True)) — skips the on-device "
+                         "deinterleave")
     args = ap.parse_args()
 
     import jax
@@ -145,13 +153,20 @@ def main():
     else:
         batch = _distinct_batch(img, args.batch,
                                 np.random.default_rng(0))
+    if args.layout == "planar":
+        # the layout the native decoder emits directly
+        # (decode_jpeg_batch(planar=True)); transposed here because
+        # this bench's frames come from synthetic variations, not
+        # the JPEG loader
+        batch = np.ascontiguousarray(batch.transpose(0, 3, 1, 2))
     batch = jnp.asarray(batch)
 
     order = (["bf16", "f32"] if args.dtype == "auto" else [args.dtype])
     cascade = None
     for name in order:
         dtype = jnp.bfloat16 if name == "bf16" else jnp.float32
-        cand = FaceCascade(model, compute_dtype=dtype)
+        cand = FaceCascade(model, compute_dtype=dtype,
+                           input_layout=args.layout)
         result = jax.block_until_ready(cand(batch[:1]))
         ok, iou, nose = _accuracy_ok(result)
         _log(f"{name}: accuracy ok={ok} iou={iou:.4f} nose={nose}")
@@ -206,7 +221,8 @@ def main():
         tracker = FaceTracker(model,
                               compute_dtype=(jnp.bfloat16
                                              if chosen == "bf16"
-                                             else jnp.float32))
+                                             else jnp.float32),
+                              input_layout=args.layout)
         r = tracker.step(batch)        # lock (full path) + compile
         np.asarray(r.score)
         assert tracker.tracking.all(), "tracking failed to lock"
@@ -233,6 +249,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
         "distinct_content": not args.identical,
+        "layout": args.layout,
     }
     if p50_ms is not None:
         record["p50_batch1_ms"] = round(p50_ms, 2)

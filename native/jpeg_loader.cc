@@ -68,6 +68,53 @@ int decode_one(const uint8_t* data, unsigned long len, uint8_t* out,
   return 0;
 }
 
+// Decode one JPEG into PLANAR RGB ([3, h, w], channel-major): each
+// scanline is deinterleaved into the three planes as it is read.  The
+// device-side warp kernels consume channel planes, so planar host
+// output removes the frame-layout transpose from the accelerator step
+// entirely.  Returns 0 on success.
+int decode_one_planar(const uint8_t* data, unsigned long len,
+                      uint8_t* out, int w, int h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_width) != w ||
+      static_cast<int>(cinfo.output_height) != h ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  const size_t plane = static_cast<size_t>(w) * h;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const size_t y = cinfo.output_scanline;
+    JSAMPROW rp = row.data();
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    uint8_t* r = out + y * w;
+    uint8_t* g = out + plane + y * w;
+    uint8_t* b = out + 2 * plane + y * w;
+    for (int x = 0; x < w; ++x) {
+      r[x] = row[3 * x];
+      g[x] = row[3 * x + 1];
+      b[x] = row[3 * x + 2];
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -113,6 +160,36 @@ int tpuface_jpeg_decode_batch(const uint8_t* const* datas,
       for (int i = t; i < n; i += nthreads) {
         uint8_t* dst = out + frame * i;
         if (decode_one(datas[i], lens[i], dst, w, h) != 0) {
+          std::memset(dst, 0, frame);
+          failures[t]++;
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  int total = 0;
+  for (int f : failures) total += f;
+  return total;
+}
+
+// Planar variant of the batch decoder: out is [n, 3, h, w] RGB planes
+// (the layout the device warp kernels consume, so the accelerator
+// never pays a frame transpose).  Returns the number of failed frames
+// (zero-filled slots).
+int tpuface_jpeg_decode_batch_planar(const uint8_t* const* datas,
+                                     const unsigned long* lens,
+                                     uint8_t* out, int w, int h, int n,
+                                     int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  const size_t frame = static_cast<size_t>(w) * h * 3;
+  std::vector<int> failures(nthreads, 0);
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (int i = t; i < n; i += nthreads) {
+        uint8_t* dst = out + frame * i;
+        if (decode_one_planar(datas[i], lens[i], dst, w, h) != 0) {
           std::memset(dst, 0, frame);
           failures[t]++;
         }

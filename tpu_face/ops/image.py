@@ -256,6 +256,44 @@ def separable_sample(image: jnp.ndarray, src_x: jnp.ndarray,
     return out.reshape(wo, ho, c).transpose(1, 0, 2)
 
 
+def separable_sample_planar(planes, src_x: jnp.ndarray,
+                            src_y: jnp.ndarray, precision=None,
+                            dot_dtype=None) -> jnp.ndarray:
+    """``separable_sample`` over pre-built channel planes (the
+    ``pallas_warp.make_planes`` output): per channel
+    ``wy @ P @ wx^T`` with NO layout transposes at all — the planar
+    path's detection warp.
+
+    Zero-pad regions of the planes reproduce the zero-border semantics
+    exactly, and taps outside the padded extent would only ever
+    multiply border zeros, so no validity masks are needed.  planes: a
+    list of three [Hp, Wp] arrays or one stacked [3, Hp, Wp]; returns
+    [Ho, Wo, 3] f32."""
+    if not isinstance(planes, (list, tuple)):
+        planes = [planes[c] for c in range(3)]
+    hp, wp = planes[0].shape
+    xs = src_x[0]            # [Wo]
+    ys = src_y[:, 0]         # [Ho]
+    wx = _hat(jnp.arange(wp, dtype=jnp.float32)[None, :] - xs[:, None])
+    wy = _hat(jnp.arange(hp, dtype=jnp.float32)[None, :] - ys[:, None])
+    if dot_dtype is None and planes[0].dtype == jnp.bfloat16:
+        dot_dtype = jnp.bfloat16   # bf16 planes imply bf16 dots
+    if dot_dtype is not None:
+        wx = wx.astype(dot_dtype)
+        wy = wy.astype(dot_dtype)
+    outs = []
+    for p in planes:
+        if dot_dtype is not None:
+            p = p.astype(dot_dtype)
+        t1 = jnp.dot(wy, p, precision=precision,
+                     preferred_element_type=jnp.float32)  # [Ho, Wp]
+        if dot_dtype is not None:
+            t1 = t1.astype(dot_dtype)
+        outs.append(jnp.dot(t1, wx.T, precision=precision,
+                            preferred_element_type=jnp.float32))
+    return jnp.stack(outs, axis=-1)                       # [Ho, Wo, 3]
+
+
 def warp_image_to_tensor(image: jnp.ndarray,
                          roi_abs: jnp.ndarray,
                          out_size: Tuple[int, int],

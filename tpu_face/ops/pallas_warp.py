@@ -382,8 +382,8 @@ def _blocked(a, ho, wo, cw):
             .reshape(t, cb, 1, ROW_TILE * cw))
 
 
-def make_planes(image_hwc: jnp.ndarray, band: int = 48,
-                dtype=jnp.float32):
+def make_planes(image_hwc, band: int = 48, dtype=jnp.float32,
+                layout: str = "hwc"):
     """Padded channel planes for ``warp_sample_multi``: one fused
     pad+convert per channel.  Build ONCE per frame and share across
     every warp call of the frame (the tap-validity mask in the kernel
@@ -395,11 +395,19 @@ def make_planes(image_hwc: jnp.ndarray, band: int = 48,
     rotate is 32-bit only) — ``warp_sample_multi`` switches to it
     automatically.
 
+    ``layout="planar"`` takes an ALREADY channel-major [3, H, W] frame
+    (e.g. from ``native_loader.decode_jpeg_batch(planar=True)``), so
+    the build is a pure pad+convert with no device-side deinterleave —
+    the layout the host decoder emits for free.
+
     Returns a LIST of three [Hp, Wp] planes when they fit the VMEM
     residency budget (the resident kernel wants separate 2D refs), or
     one stacked [3, Hp, Wp] array for the HBM strip-DMA kernel on
     larger frames — ``warp_sample_multi`` dispatches on the type."""
-    h, w, _ = image_hwc.shape
+    if layout == "planar":
+        _, h, w = image_hwc.shape
+    else:
+        h, w, _ = image_hwc.shape
     y_align = 16 if dtype == jnp.bfloat16 else 8
     hp = max(-(-h // y_align) * y_align,
              -(-band // y_align) * y_align)
@@ -408,6 +416,13 @@ def make_planes(image_hwc: jnp.ndarray, band: int = 48,
     # resident plane set (1080p) fails Mosaic compilation even though
     # it passes the nominal 12 MB budget — bf16's win is the halved
     # strip DMA on large frames, not a stretched residency envelope.
+    if layout == "planar":
+        if planes_fit_vmem(hp, wp):
+            return [jnp.pad(image_hwc[c].astype(dtype),
+                            ((0, hp - h), (0, wp - w)))
+                    for c in range(3)]
+        return jnp.pad(image_hwc.astype(dtype),
+                       ((0, 0), (0, hp - h), (0, wp - w)))
     if planes_fit_vmem(hp, wp):
         return [jnp.pad(image_hwc[..., c].astype(dtype),
                         ((0, hp - h), (0, wp - w))) for c in range(3)]

@@ -105,7 +105,8 @@ class FaceCascade:
                  compute_dtype=jnp.float32,
                  warp_method: str = "auto",
                  max_faces: int = 1,
-                 nms_top_m: int = 128):
+                 nms_top_m: int = 128,
+                 input_layout: str = "hwc"):
         base = Path(model_path) if model_path else _DATA_DIR
         det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
         mesh_graph = Graph(base / "face_landmark.npz")
@@ -122,6 +123,12 @@ class FaceCascade:
         _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
         self._warp = image_ops.resolve_warp_method(warp_method)
         self._compute_dtype = compute_dtype
+        # "hwc" = [B, H, W, 3] frames (reference semantics); "planar"
+        # = [B, 3, H, W] channel planes as the native decoder emits
+        # them (decode_jpeg_batch(planar=True)) — skips the device-side
+        # deinterleave that feeds the warp kernels' channel planes
+        assert input_layout in ("hwc", "planar"), input_layout
+        self._layout = input_layout
         self.max_faces = max_faces
         # weighted-NMS candidate-pool bound; raise for crowded scenes
         # (see models/face_detection.py nms_top_m)
@@ -132,28 +139,39 @@ class FaceCascade:
 
     def _single(self, image, image_size):
         w, h = image_size
-        img = image.astype(jnp.float32)
         # frame size does not gate the Pallas path: beyond ~720p the
         # kernel switches to HBM-resident planes with per-block strip
         # DMA (ops/pallas_warp.make_planes dispatches residency)
         warp = self._warp
+        # The exact-gather paths (and the standalone-model semantics)
+        # work on HWC; under "planar" input the transpose only actually
+        # lowers on those paths (XLA DCEs it when every consumer reads
+        # the channel planes instead).
+        img = (image if self._layout == "hwc"
+               else image.transpose(1, 2, 0)).astype(jnp.float32)
         # padded channel planes built ONCE per frame, shared by every
-        # Pallas warp of the frame (mesh + both irises); dtype per
-        # frame size (_plane_cfg): f32 while VMEM-resident, bf16
-        # beyond (pixel-exact for uint8 sources, halves DMA traffic
-        # and doubles the residency envelope)
+        # Pallas warp of the frame (detection + mesh + both irises);
+        # dtype per frame size (_plane_cfg): f32 while VMEM-resident,
+        # bf16 beyond (pixel-exact for uint8 sources, halves DMA
+        # traffic).  With "planar" input the build is a pure
+        # pad+convert — the host decoder already emits channel planes
+        # (native_loader.decode_jpeg_batch(planar=True)).
         planes = None
         if warp == "pallas":
             from .ops.pallas_warp import make_planes
             # plane height must cover the LARGEST band any warp uses
             planes = make_planes(image,
                                  band=max(self._bands(image_size)),
-                                 dtype=self._plane_cfg(image_size)[0])
+                                 dtype=self._plane_cfg(image_size)[0],
+                                 layout=self._layout)
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
-        # hat matmuls, the cheapest exact path.  named_scope labels make
-        # device traces attribute fused ops to stages (utils/profiling).
+        # hat matmuls, the cheapest exact path.  On the Pallas path it
+        # reads the shared channel planes (separable_sample_planar —
+        # zero layout transposes); elsewhere the HWC formulation.
+        # named_scope labels make device traces attribute fused ops to
+        # stages (utils/profiling).
         with jax.named_scope("tpu_face.detect"):
             whole = jnp.array([0.5 * w, 0.5 * h, w, h, 0.0], jnp.float32)
             # bf16 hat-matmul dots for the big-frame detection warp
@@ -165,12 +183,19 @@ class FaceCascade:
             dot_dtype = (jnp.bfloat16
                          if (self._compute_dtype == jnp.bfloat16
                              and max(w, h) > 720) else None)
-            tensor, padding = image_ops.warp_image_to_tensor(
-                img, whole, (self.det_w, self.det_h),
-                keep_aspect_ratio=True, output_range=(-1.0, 1.0),
-                method=("separable" if warp in ("mxu", "pallas")
-                        else warp),
-                dot_dtype=dot_dtype)
+            if warp == "pallas":
+                dx, dy, padding = image_ops._source_coords(
+                    whole, (self.det_w, self.det_h), True, False)
+                tensor = image_ops._normalize_pixels(
+                    image_ops.separable_sample_planar(
+                        planes, dx, dy, dot_dtype=dot_dtype),
+                    (-1.0, 1.0), True)
+            else:
+                tensor, padding = image_ops.warp_image_to_tensor(
+                    img, whole, (self.det_w, self.det_h),
+                    keep_aspect_ratio=True, output_range=(-1.0, 1.0),
+                    method=("separable" if warp == "mxu" else warp),
+                    dot_dtype=dot_dtype)
             raw_boxes, raw_scores = self._det_net(tensor[None])
         with jax.named_scope("tpu_face.nms"):
             boxes = post.decode_boxes(raw_boxes[0], self.anchors,
@@ -363,7 +388,10 @@ class FaceCascade:
         return self._jitted[key]
 
     def __call__(self, images: jnp.ndarray) -> CascadeResult:
-        _, h, w, _ = images.shape
+        if self._layout == "planar":
+            _, _, h, w = images.shape
+        else:
+            _, h, w, _ = images.shape
         return self._get_jitted(h, w)(images)
 
     def infer_batch(self, images) -> CascadeResult:

@@ -69,12 +69,14 @@ class FaceTracker:
                  model_path: Optional[str] = None,
                  compute_dtype=jnp.float32,
                  warp_method: str = "auto",
-                 redetect_every: Optional[int] = None):
+                 redetect_every: Optional[int] = None,
+                 input_layout: str = "hwc"):
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
                                    compute_dtype=compute_dtype,
                                    warp_method=warp_method,
-                                   max_faces=1)
+                                   max_faces=1,
+                                   input_layout=input_layout)
         assert self.cascade.max_faces == 1, \
             "tracking supports one face per stream"
         # force a detector pass every N steps even while locked (guards
@@ -95,7 +97,12 @@ class FaceTracker:
         if warp == "pallas":
             from .ops.pallas_warp import make_planes
             planes = make_planes(image, band=max(c._bands(image_size)),
-                                 dtype=c._plane_cfg(image_size)[0])
+                                 dtype=c._plane_cfg(image_size)[0],
+                                 layout=c._layout)
+        if c._layout == "planar":
+            # HWC view for the exact-gather branches (DCE'd when the
+            # Pallas planes serve every warp)
+            image = image.transpose(1, 2, 0)
         # detection fields carry the tracked ROI's bbox (score 1.0 =
         # "locked"); the mesh ROI itself is injected, not rederived
         w, h = image_size
@@ -148,7 +155,10 @@ class FaceTracker:
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
-        b, h, w, _ = images.shape
+        if self.cascade._layout == "planar":
+            b, _, h, w = images.shape
+        else:
+            b, h, w, _ = images.shape
         # stale state is unusable when the batch size OR the frame
         # resolution changes (ROIs are absolute pixels of the previous
         # resolution) — start from a clean detect

@@ -53,6 +53,9 @@ def _load():
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int]
+    lib.tpuface_jpeg_decode_batch_planar.restype = ctypes.c_int
+    lib.tpuface_jpeg_decode_batch_planar.argtypes = \
+        lib.tpuface_jpeg_decode_batch.argtypes
     _lib = lib
     return _lib
 
@@ -93,8 +96,13 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
 
 
 def decode_jpeg_batch(datas: Sequence[bytes], width: int, height: int,
-                      num_threads: int = 0, strict: bool = False):
-    """Decode same-sized JPEGs into one [N, H, W, 3] uint8 array.
+                      num_threads: int = 0, strict: bool = False,
+                      planar: bool = False):
+    """Decode same-sized JPEGs into one [N, H, W, 3] uint8 array —
+    or [N, 3, H, W] channel planes with ``planar=True``, the layout
+    ``FaceCascade(input_layout="planar")`` consumes so the device never
+    pays a frame transpose (the C++ decoder deinterleaves per scanline
+    at negligible host cost).
 
     Frames that fail to decode (or whose size differs from
     (width, height)) come back zero-filled; the decoder's failure count
@@ -107,14 +115,17 @@ def decode_jpeg_batch(datas: Sequence[bytes], width: int, height: int,
         raise RuntimeError("native loader unavailable — check g++ and "
                            "libjpeg, or use image_io.load_image")
     n = len(datas)
-    out = np.zeros((n, height, width, 3), np.uint8)
+    shape = (n, 3, height, width) if planar else (n, height, width, 3)
+    out = np.zeros(shape, np.uint8)
     if n == 0:
         return out
     bufs = (ctypes.c_char_p * n)(*datas)
     lens = (ctypes.c_ulong * n)(*[len(d) for d in datas])
     if num_threads <= 0:
         num_threads = min(n, os.cpu_count() or 1)
-    failures = lib.tpuface_jpeg_decode_batch(
+    fn = (lib.tpuface_jpeg_decode_batch_planar if planar
+          else lib.tpuface_jpeg_decode_batch)
+    failures = fn(
         bufs, lens, out.ctypes.data_as(ctypes.c_void_p),
         width, height, n, num_threads)
     if failures:
