@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""HBM-traffic floor for the cascade CNNs: is XLA's measured stage
+time at the bandwidth bound, or is there headroom?
+
+For each net: FLOPs, an IDEAL activation-traffic bound (only
+conv/pool/resize/concat outputs materialize; elementwise chains fuse
+into their producers) and a NAIVE bound (every op materializes).
+Implied ms/step at 819 GB/s (v5e) is printed next to the measured
+stage times from docs/PERF.md for comparison.  Runs on CPU.
+
+    python tools/cnn_floor.py [--batch 128]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tpu_face.compiler.lowering import Graph, graph_flops  # noqa: E402
+
+DATA = Path("/root/repo/tpu_face/data")
+HBM_GBS = 819.0
+
+# ops whose outputs a fusing compiler still has to materialize
+_MATERIALIZE = {"CONV_2D", "DEPTHWISE_CONV_2D", "MAX_POOL_2D",
+                "AVERAGE_POOL_2D", "RESIZE_BILINEAR", "DEPTH_TO_SPACE",
+                "CONCATENATION", "FULLY_CONNECTED", "MEAN",
+                "BATCH_MATMUL"}
+
+
+def traffic(graph, batch, act_bytes=2):
+    shapes = {i: t["shape"] for i, t in enumerate(graph.tensors)}
+
+    def nbytes(tid):
+        s = shapes[tid]
+        return int(np.prod([d if d > 0 else 1 for d in s])) * act_bytes
+
+    ideal = naive = 0
+    weight_bytes = 0
+    for node in graph.ops:
+        op, ins, outs = node["op"], node["inputs"], node["outputs"]
+        acts_in = sum(nbytes(i) for i in ins if i not in graph.consts)
+        w_in = sum(graph.consts[i].nbytes for i in ins
+                   if i in graph.consts)
+        out_b = sum(nbytes(o) for o in outs)
+        naive += acts_in + out_b
+        weight_bytes += w_in
+        if op in _MATERIALIZE:
+            ideal += acts_in + out_b
+    return ideal * batch + weight_bytes, naive * batch + weight_bytes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+    B = args.batch
+
+    # measured XLA stage times at batch 128 (PERF.md @256 halved;
+    # iris covers BOTH eyes = effective batch 2B)
+    measured = {"face_detection_back": (6.55, 1),
+                "face_landmark": (2.5, 1),
+                "iris_landmark": (3.8, 2)}
+    print(f"batch {B}; bf16 activations; v5e {HBM_GBS:.0f} GB/s, "
+          f"197 bf16 TFLOP/s")
+    for name, (meas, mul) in measured.items():
+        g = Graph(DATA / f"{name}.npz")
+        fl = graph_flops(g, B) * mul
+        ideal, naive = traffic(g, B)
+        ideal, naive = ideal * mul, naive * mul
+        t_bw_i = ideal / HBM_GBS / 1e6
+        t_bw_n = naive / HBM_GBS / 1e6
+        t_mxu = fl / 197e12 * 1e3
+        print(f"{name:24s} flops {fl / 1e9:6.1f} G  "
+              f"ideal {ideal / 1e6:7.1f} MB -> {t_bw_i:5.2f} ms  "
+              f"naive {naive / 1e6:7.1f} MB -> {t_bw_n:5.2f} ms  "
+              f"mxu {t_mxu:5.2f} ms  measured {meas:5.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

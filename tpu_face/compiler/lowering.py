@@ -113,6 +113,12 @@ def graph_flops(graph, batch: int = 1) -> int:
     return total * batch
 
 
+def _prelu(x, alpha):
+    """Per-channel PReLU (module-level so probes can A/B formulations;
+    tools/tpu_prelu_probe.py)."""
+    return jnp.where(x >= 0, x, x * alpha)
+
+
 def _act(x, kind):
     if kind == "NONE":
         return x
@@ -315,7 +321,7 @@ def build_jax_fn(graph, param_dtype=jnp.float32, compute_dtype=jnp.float32):
                 env[outs[0]] = jnp.maximum(get(ins[0]), 0.0)
             elif op == "PRELU":
                 xin, alpha = get(ins[0]), cast_param(get(ins[1]))
-                env[outs[0]] = jnp.where(xin >= 0, xin, xin * alpha)
+                env[outs[0]] = _prelu(xin, alpha)
             elif op == "PAD":
                 pads = np.asarray(graph.consts[ins[1]])
                 env[outs[0]] = jnp.pad(get(ins[0]),

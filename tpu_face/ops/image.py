@@ -276,15 +276,17 @@ def separable_sample_planar(planes, src_x: jnp.ndarray,
     ys = src_y[:, 0]         # [Ho]
     wx = _hat(jnp.arange(wp, dtype=jnp.float32)[None, :] - xs[:, None])
     wy = _hat(jnp.arange(hp, dtype=jnp.float32)[None, :] - ys[:, None])
-    if dot_dtype is None and planes[0].dtype == jnp.bfloat16:
-        dot_dtype = jnp.bfloat16   # bf16 planes imply bf16 dots
+    # dot_dtype=None keeps the dots FULLY exact even over bf16 planes:
+    # uint8 pixel values are exact in bf16, so upcasting the planes to
+    # f32 reproduces the f32-plane result bit-for-bit (the bf16 planes
+    # still halve the HBM read)
     if dot_dtype is not None:
         wx = wx.astype(dot_dtype)
         wy = wy.astype(dot_dtype)
     outs = []
     for p in planes:
-        if dot_dtype is not None:
-            p = p.astype(dot_dtype)
+        p = p.astype(dot_dtype if dot_dtype is not None
+                     else jnp.float32)
         t1 = jnp.dot(wy, p, precision=precision,
                      preferred_element_type=jnp.float32)  # [Ho, Wp]
         if dot_dtype is not None:
