@@ -111,8 +111,10 @@ def main():
     ap.add_argument("--skip-p50", action="store_true",
                     help="skip the batch-1 p50 latency measurement")
     ap.add_argument("--tracking", action="store_true",
-                    help="also measure video tracking mode (detector "
-                         "skipped while all streams stay locked)")
+                    help="(default now; kept for compatibility)")
+    ap.add_argument("--no-tracking", action="store_true",
+                    help="skip the video-tracking-mode measurement "
+                         "(detector skipped while streams stay locked)")
     ap.add_argument("--layout", choices=["hwc", "planar"],
                     default="hwc",
                     help="frame layout fed to the cascade: hwc = "
@@ -215,32 +217,38 @@ def main():
         _log(f"batch-1 p50 latency: {p50_ms:.2f} ms")
 
     tracking_fps = None
-    if args.tracking:
-        from tpu_face.tracking import FaceTracker
+    if not args.no_tracking:
+        # measured by default but NEVER allowed to fail the bench —
+        # the canonical cascade metric above is already recorded
+        try:
+            from tpu_face.tracking import FaceTracker
 
-        tracker = FaceTracker(model,
-                              compute_dtype=(jnp.bfloat16
-                                             if chosen == "bf16"
-                                             else jnp.float32),
-                              input_layout=args.layout)
-        r = tracker.step(batch)        # lock (full path) + compile
-        np.asarray(r.score)
-        assert tracker.tracking.all(), "tracking failed to lock"
-        r = tracker.step(batch)        # compile tracked path
-        np.asarray(r.score)
-        assert tracker.tracking.all(), "tracking lost during warmup"
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            r = tracker.step(batch)
-        np.asarray(r.score)
-        dt = time.perf_counter() - t0
-        # the number is only "tracking mode" if lock held the whole
-        # loop — a single lost stream silently re-runs the detector
-        assert tracker.tracking.all(), \
-            "tracking lost mid-loop; tracking_fps would be invalid"
-        tracking_fps = args.batch * args.iters / dt
-        _log(f"tracking mode: {tracking_fps:.1f} frames/s "
-             f"({dt / args.iters * 1e3:.2f} ms/step, detector skipped)")
+            tracker = FaceTracker(model,
+                                  compute_dtype=(jnp.bfloat16
+                                                 if chosen == "bf16"
+                                                 else jnp.float32),
+                                  input_layout=args.layout)
+            r = tracker.step(batch)        # lock (full path) + compile
+            np.asarray(r.score)
+            assert tracker.tracking.all(), "tracking failed to lock"
+            r = tracker.step(batch)        # compile tracked path
+            np.asarray(r.score)
+            assert tracker.tracking.all(), "tracking lost during warmup"
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = tracker.step(batch)
+            np.asarray(r.score)
+            dt = time.perf_counter() - t0
+            # the number is only "tracking mode" if lock held the whole
+            # loop — a lost stream silently re-runs the detector
+            assert tracker.tracking.all(), \
+                "tracking lost mid-loop; tracking_fps would be invalid"
+            tracking_fps = args.batch * args.iters / dt
+            _log(f"tracking mode: {tracking_fps:.1f} frames/s "
+                 f"({dt / args.iters * 1e3:.2f} ms/step, detector "
+                 f"skipped)")
+        except Exception as e:                      # noqa: BLE001
+            _log(f"tracking measurement skipped: {e}")
 
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
     record = {

@@ -115,8 +115,14 @@ def graph_flops(graph, batch: int = 1) -> int:
 
 def _prelu(x, alpha):
     """Per-channel PReLU (module-level so probes can A/B formulations;
-    tools/tpu_prelu_probe.py)."""
-    return jnp.where(x >= 0, x, x * alpha)
+    tools/tpu_prelu_probe.py).
+
+    max + alpha*min instead of the equivalent select form: elementwise
+    the two are float-exact-identical in any dtype (the inactive branch
+    contributes an exact 0), but XLA/TPU fuses this form into the
+    producing conv's epilogue while the select materializes — the iris
+    net drops 5.93 -> 3.27 ms at effective batch 256 (bf16, v5e)."""
+    return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
 def _act(x, kind):
