@@ -63,3 +63,30 @@ def test_cli_embed_reports_missing_model(capsys):
     rc, d = _run(capsys, ["embed", MAN, MAN])
     assert rc == 1
     assert "convert_tflite" in d["error"]
+
+
+def test_cli_embed_with_converted_model(capsys):
+    """embed end-to-end with a converted ArcFace-class model (the
+    fixture tests/test_embeddings_arcface.py builds), asserting the
+    same-person cosine similarity exceeds a sane floor."""
+    pytest.importorskip("tensorflow")
+    import shutil
+    from pathlib import Path
+
+    cache = Path("/tmp/tpu_face_fixtures")
+    npz_dir = cache / "arcface_w0.5_v1"
+    if not (npz_dir / "face_embeddings.npz").exists():
+        pytest.skip("arcface fixture not built yet "
+                    "(run test_embeddings_arcface first)")
+    # the CLI takes ONE model dir (reference new() semantics): stage the
+    # bundled detection model next to the converted embeddings graph
+    det = npz_dir / "face_detection_back.npz"
+    if not det.exists():
+        shutil.copy(Path("tpu_face/data/face_detection_back.npz"), det)
+    rc, d = _run(capsys, ["embed",
+                          "/root/reference/test_data/russ_cox_1.jpg",
+                          "/root/reference/test_data/russ_cox_2.jpg",
+                          "--model-path", str(npz_dir)])
+    assert rc == 0
+    assert d["dim"] in (128, 512)
+    assert d["cosine_similarity"] > 0.3

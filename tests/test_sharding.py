@@ -90,3 +90,21 @@ def test_sharded_cascade_has_no_collectives():
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert hlo.count(op) == 0, op
+
+
+def test_sharded_planar_cascade_matches_hwc():
+    """Planar ingestion composes with batch sharding: [B, 3, H, W]
+    shards on the leading axis like HWC batches."""
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, size=(8, 64, 64, 3)).astype(np.uint8)
+    planar = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2))
+    mesh = data_parallel_mesh()
+    ref = jax.block_until_ready(
+        infer_sharded(FaceCascade(FaceDetectionModel.SHORT), imgs, mesh))
+    out = jax.block_until_ready(
+        infer_sharded(FaceCascade(FaceDetectionModel.SHORT,
+                                  input_layout="planar"), planar, mesh))
+    np.testing.assert_allclose(np.asarray(out.mesh),
+                               np.asarray(ref.mesh), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(out.face_valid),
+                                  np.asarray(ref.face_valid))
