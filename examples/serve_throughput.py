@@ -43,12 +43,17 @@ def main():
     print(f"frames: {w}x{h}, batch {args.batch}, "
           f"native decoder: {native_loader.available()}")
 
-    cascade = FaceCascade(compute_dtype=jnp.bfloat16)
+    # planar ingestion when the native decoder is available: it emits
+    # [B, 3, H, W] channel planes directly, so the device never pays a
+    # frame-layout transpose (input_layout="planar")
+    planar = native_loader.available()
+    cascade = FaceCascade(compute_dtype=jnp.bfloat16,
+                          input_layout="planar" if planar else "hwc")
 
     def decode():
-        if native_loader.available():
+        if planar:
             return native_loader.decode_jpeg_batch(
-                [data] * args.batch, w, h)
+                [data] * args.batch, w, h, planar=True)
         from tpu_face.utils.image_io import load_image
         img = load_image(data)
         return np.broadcast_to(img, (args.batch,) + img.shape)

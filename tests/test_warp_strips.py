@@ -225,3 +225,54 @@ def test_envelope_flag_rejects_oversized_roi():
     ok = jnp.array([960.0, 540.0, 600.0, 600.0, 0.0], jnp.float32)
     sx, sy, _ = image_ops._source_coords(ok, (192, 192), False, False)
     assert bool(pallas_warp.envelope_ok(sx, sy, 32, 64))
+
+
+def test_wide_xload_covers_4k_scale_rois():
+    """A 4K-class close-up face warps at mesh-ROI scales ~8x the 192
+    output — beyond the rolled 128-lane window.  The cw=16 / 512-lane
+    wide window (pipeline._warp_cfg beyond 2560 px) must sample it
+    exactly (within the bf16-dot uint8 level), and the envelope math
+    must agree: out of envelope for the default window, in for wide."""
+    import jax.numpy as jnp
+
+    from tpu_face.ops import image as image_ops
+    from tpu_face.ops.pallas_warp import (envelope_ok, make_planes,
+                                          warp_sample_multi)
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.integers(0, 255, (1620, 2880, 3)
+                                   ).astype(np.uint8))
+    roi = jnp.asarray(np.array([1440.0, 810.0, 1500.0, 1500.0, 0.15],
+                               np.float32))
+    sx, sy, _ = image_ops._source_coords(roi, (192, 192), False, False)
+
+    assert not bool(envelope_ok(sx, sy, 32, 128, 8, 126))       # rolled
+    assert bool(envelope_ok(sx, sy, 16, 192, 16, 512 - 129))    # wide
+
+    planes = make_planes(img, band=192, dtype=jnp.bfloat16)
+    assert not isinstance(planes, list)      # strips mode (bf16, big)
+    (out,) = warp_sample_multi(None, [(sx, sy)], band=192,
+                               planes=planes, cw=16, xload=512,
+                               interpret=True)
+    exact = image_ops.bilinear_sample(img.astype(jnp.float32), sx, sy)
+    assert float(jnp.max(jnp.abs(out - exact))) <= 1.0
+
+
+def test_cascade_4k_scale_face_keeps_fast_path():
+    """Fused cascade on a >2560 px frame with a close-up face: the
+    pallas path must match the gather path within budget and keep
+    envelope_ok True (it used to flag every 4K close-up)."""
+    from PIL import Image
+
+    from tpu_face.pipeline import FaceCascade
+
+    man = np.asarray(Image.open("/root/reference/test_data/man.jpg").convert("RGB")
+                     .resize((2880, 1920), Image.BILINEAR), np.uint8)
+    canvas = man[None]
+    ref = FaceCascade(warp_method="gather").infer_batch(canvas)
+    out = FaceCascade(warp_method="pallas").infer_batch(canvas)
+    assert bool(ref.mesh_valid[0]) and bool(out.mesh_valid[0])
+    assert bool(out.envelope_ok[0])
+    mesh_px = np.abs((np.asarray(out.mesh[0]) - np.asarray(ref.mesh[0]))
+                     * np.array([2880.0, 1920.0, 2880.0]))
+    assert mesh_px.max() <= 2.0, mesh_px.max()

@@ -91,7 +91,8 @@ def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
 
 
 def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
-                     cw: int, band: int, y_align: int = 8) -> bool:
+                     cw: int, band: int, y_align: int = 8,
+                     x_budget: int = XWIN - 2) -> bool:
     """Host-side (concrete numpy) version of ``envelope_ok`` for the
     standalone models, whose ROI values are known before dispatch: the
     per-block source extents follow analytically from the ROI and the
@@ -128,10 +129,11 @@ def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
     dydv = abs(qy_v * rh * c)
     x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
     y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (y_align - 1)
-    return bool(x_ext <= 126.0 and y_ext <= band)
+    return bool(x_ext <= x_budget and y_ext <= band)
 
 
-def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8):
+def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8,
+                x_budget: int = XWIN - 2):
     """Traced per-warp check that a coordinate grid fits the kernel's
     static windows (the docstring's x/y extent constraints).
 
@@ -140,23 +142,26 @@ def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8):
     the grid's first row/column bound every block.  ``y_align`` is the
     strip-start alignment (8 for f32 planes, 16 for bf16), whose
     down-rounding adds up to y_align-1 rows of slack the band must
-    absorb.  Returns a traced bool; False means some taps would clamp
-    (callers surface it as a validity flag — a jitted program cannot
-    fall back)."""
+    absorb.  ``x_budget`` is the per-block x-extent the window admits:
+    ``XWIN - 2`` for the rolled window, ``xload - 129`` for the wide
+    roll-free window (xa is 128-aligned at or below xmin, so at least
+    ``xload - 127`` taps from xmin are always loaded).  Returns a
+    traced bool; False means some taps would clamp (callers surface it
+    as a validity flag — a jitted program cannot fall back)."""
     dxdu = jnp.abs(src_x[0, 1] - src_x[0, 0])
     dxdv = jnp.abs(src_x[1, 0] - src_x[0, 0])
     dydu = jnp.abs(src_y[0, 1] - src_y[0, 0])
     dydv = jnp.abs(src_y[1, 0] - src_y[0, 0])
     x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
     y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (y_align - 1)
-    return (x_ext <= 126.0) & (y_ext <= band)
+    return (x_ext <= float(x_budget)) & (y_ext <= band)
 
 
 def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _block_geometry(xs, ys, h, w, band, y_align=8):
+def _block_geometry(xs, ys, h, w, band, y_align=8, xload=XLOAD):
     """Aligned source-strip origin for one output block: sublane-tile-
     aligned row start (8 rows for f32 planes, 16 for bf16), 128-aligned
     column start, and the lane roll offset."""
@@ -164,7 +169,7 @@ def _block_geometry(xs, ys, h, w, band, y_align=8):
     ystart = jnp.clip((ymin // y_align) * y_align, 0, h - band)
     ystart = pl.multiple_of(ystart, y_align)
     xmin = jnp.clip(jnp.floor(jnp.min(xs)).astype(jnp.int32), 0, w - 1)
-    xa = jnp.clip((xmin // XWIN) * XWIN, 0, w - XLOAD)
+    xa = jnp.clip((xmin // XWIN) * XWIN, 0, w - xload)
     xa = pl.multiple_of(xa, XWIN)
     return ystart, xa, xmin - xa, xmin
 
@@ -196,7 +201,7 @@ def _block_dot(window, wx, wy, dot_bf16):
 
 
 def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
-                 band, dot_bf16, wide):
+                 band, dot_bf16, wide, xload=XLOAD):
     """One row-tile of CB [ROW_TILE, cw] output blocks, planes resident.
 
     r/g/b_ref: [Hp, Wp] f32 channel planes (padded, whole-call VMEM);
@@ -220,9 +225,10 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
     # 32-bit lane rotate, so they require the roll-free wide window
     y_align = 16 if r_ref.dtype == jnp.bfloat16 else 8
     assert wide or y_align == 8, "bf16 planes require wide mode"
+    assert wide or xload == XLOAD, "custom xload requires wide mode"
 
     iota_x = jax.lax.broadcasted_iota(
-        jnp.int32, (XLOAD if wide else XWIN, pb), 0).astype(jnp.float32)
+        jnp.int32, (xload if wide else XWIN, pb), 0).astype(jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
                                       ).astype(jnp.float32)
 
@@ -230,11 +236,11 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
         xs = xs_ref[0, cb]                                # [1, PB]
         ys = ys_ref[0, cb]
         ystart, xa, off, xmin = _block_geometry(xs, ys, h, w, band,
-                                                y_align)
+                                                y_align, xload)
         wx, wy = _block_weights(xs, ys, xa if wide else xmin, ystart,
                                 iota_x, iota_y, w, dot_bf16)
         for c, ref in enumerate((r_ref, g_ref, b_ref)):
-            strip = ref[pl.ds(ystart, band), pl.ds(xa, XLOAD)]
+            strip = ref[pl.ds(ystart, band), pl.ds(xa, xload)]
             window = (strip if wide
                       else pltpu.roll(strip, -off, axis=1)[:, :XWIN])
             out_ref[0, c, cb, :] = _block_dot(window, wx, wy, dot_bf16)
@@ -242,7 +248,7 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
 
 def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
                         strip_ref, sem_ref, *, band, dot_bf16,
-                        plane_ratio, wide):
+                        plane_ratio, wide, xload=XLOAD):
     """The same row-tile program with HBM-resident planes: each block
     DMAs only its [band, XLOAD] source strip into a double-buffered
     VMEM scratch, so arbitrarily large frames never have to fit VMEM.
@@ -261,9 +267,10 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     b = pl.program_id(0) // plane_ratio
     y_align = 16 if planes_ref.dtype == jnp.bfloat16 else 8
     assert wide or y_align == 8, "bf16 planes require wide mode"
+    assert wide or xload == XLOAD, "custom xload requires wide mode"
 
     iota_x = jax.lax.broadcasted_iota(
-        jnp.int32, (XLOAD if wide else XWIN, pb), 0).astype(jnp.float32)
+        jnp.int32, (xload if wide else XWIN, pb), 0).astype(jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (band, pb), 0
                                       ).astype(jnp.float32)
 
@@ -272,12 +279,12 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     geom = []
     for cb in range(cb_count):
         geom.append(_block_geometry(xs_ref[0, 0, cb], ys_ref[0, 0, cb],
-                                    h, w, band, y_align))
+                                    h, w, band, y_align, xload))
 
     def _dma(cb, slot, c):
         ystart, xa, _, _ = geom[cb]
         return pltpu.make_async_copy(
-            planes_ref.at[b, c, pl.ds(ystart, band), pl.ds(xa, XLOAD)],
+            planes_ref.at[b, c, pl.ds(ystart, band), pl.ds(xa, xload)],
             strip_ref.at[slot, c],
             sem_ref.at[slot, c])
 
@@ -307,7 +314,8 @@ _STRIPS_FNS = {}
 
 
 def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
-                   wide: bool, plane_dtype=jnp.float32):
+                   wide: bool, plane_dtype=jnp.float32,
+                   xload: int = XLOAD):
     """Cached ``jax.custom_vmap`` wrapper around the strip-DMA
     pallas_call.
 
@@ -319,7 +327,8 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
     batch) flatten consistently because coords and planes grow by the
     same leading factor whenever both are batched, and only GP == 1
     levels (shared frame planes across faces) are ever unbatched."""
-    key = (band, dot_bf16, interpret, wide, jnp.dtype(plane_dtype).name)
+    key = (band, dot_bf16, interpret, wide, jnp.dtype(plane_dtype).name,
+           xload)
     if key in _STRIPS_FNS:
         return _STRIPS_FNS[key]
 
@@ -335,7 +344,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
                                   memory_space=pltpu.VMEM)
         return pl.pallas_call(
             partial(_warp_kernel_strips, band=band, dot_bf16=dot_bf16,
-                    plane_ratio=gc // gp, wide=wide),
+                    plane_ratio=gc // gp, wide=wide, xload=xload),
             grid=(gc, t),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), coord_spec,
                       coord_spec],
@@ -344,7 +353,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((gc, t, 3, cb, pb),
                                            jnp.float32),
-            scratch_shapes=[pltpu.VMEM((2, 3, band, XLOAD),
+            scratch_shapes=[pltpu.VMEM((2, 3, band, xload),
                                        plane_dtype),
                             pltpu.SemaphoreType.DMA((2, 3))],
             interpret=interpret,
@@ -434,7 +443,8 @@ def make_planes(image_hwc, band: int = 48, dtype=jnp.float32,
 
 def warp_sample_multi(image_hwc, coords, band: int = 48,
                       dot_dtype=jnp.bfloat16, interpret: bool = False,
-                      planes=None, cw: int = 32, wide: bool = False):
+                      planes=None, cw: int = 32, wide: bool = False,
+                      xload: int = XLOAD):
     """Bilinear-sample several same-width output grids from one frame
     in one pallas_call (single VMEM fetch of the planes).
 
@@ -454,8 +464,13 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
         per-block x-extent so larger ROI-to-output scales fit the
         128-lane window (see pick_cw).
       wide: True skips the per-channel lane roll and builds hat weights
-        over the full 256-lane aligned load instead (2x hat-build and
-        MXU work, zero roll) — same output, different VPU/MXU trade.
+        over the full ``xload``-lane aligned load instead (2x hat-build
+        and MXU work at xload 256, zero roll) — same output, different
+        VPU/MXU trade.
+      xload: aligned source-strip width in lanes (wide mode only; 128
+        multiple).  Raising it beyond 256 widens the per-block x-extent
+        envelope to ``xload - 129`` lanes — huge frames (4K) need 512
+        so close-up faces keep the fast path (see envelope_ok).
 
     Returns: list of [Ho_i, Wo, 3] f32 sampled pixels.
     """
@@ -492,6 +507,10 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
         assert dot_bf16, "bf16 planes require bf16 dots"
         wide = True
         band = min(-(-band // 16) * 16, hp)
+    if xload != XLOAD:
+        assert xload % XWIN == 0, xload
+        wide = True                 # the roll path is 256-lane only
+    xload = min(xload, wp)          # slices must fit the padded plane
 
     if resident:
         coord_spec = pl.BlockSpec((1, cb, 1, pb),
@@ -501,7 +520,7 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             partial(_warp_kernel, band=band, dot_bf16=dot_bf16,
-                    wide=wide),
+                    wide=wide, xload=xload),
             grid=(t_total,),
             in_specs=[plane_spec, plane_spec, plane_spec, coord_spec,
                       coord_spec],
@@ -514,7 +533,7 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
         )(*planes, xs, ys)
     else:
         fn = _get_strips_fn(band, dot_bf16, interpret, wide,
-                            plane_dtype)
+                            plane_dtype, xload)
         out = fn(planes[None], xs[None], ys[None])[0]
 
     # split segments; [T, 3, CB, PB] -> [Ho, Wo, 3]

@@ -233,14 +233,30 @@ class FaceCascade:
         return jnp.bfloat16, 16
 
     @staticmethod
+    def _warp_cfg(image_size):
+        """(cw, xload, x_budget): mesh/iris warp block geometry.
+
+        Huge frames mean huge faces: a 4K close-up face warps at mesh
+        ROI scales ~8x the 192 output (and iris scales ~9x the 64),
+        beyond the rolled 128-lane window's extent.  Past 2560 px the
+        warps switch to cw=16 with a 512-lane wide window — x-budget
+        383 lanes admits ROI scale ~19 (faces to ~2400 px at 4K)."""
+        if max(image_size) > 2560:
+            return 16, 512, 512 - 129
+        return 32, 256, 126
+
+    @staticmethod
     def _bands(image_size):
         """Static warp band sizes scaled to the frame: faces (and so
         ROIs) grow with the frame, and the band must cover
-        8*roi_h/out_h source rows per tile plus rotation shear."""
+        8*roi_h/out_h source rows per tile plus rotation shear.  The
+        cap rises with the frame for the same close-up-face reason as
+        _warp_cfg's x window."""
         maxdim = max(image_size)
+        cap = 192 if maxdim > 2560 else 128
 
         def clamp8(v, lo):
-            return min(128, max(lo, -(-v // 8) * 8))
+            return min(cap, max(lo, -(-v // 8) * 8))
 
         return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
 
@@ -253,6 +269,7 @@ class FaceCascade:
         w, h = image_size
         mesh_band, iris_band = self._bands(image_size)
         y_align = self._plane_cfg(image_size)[1]
+        cw, xload, x_budget = self._warp_cfg(image_size)
 
         if face_roi_abs is None:
             # Stage 2: face ROI (face_landmark.rs:180-198); keypoint
@@ -274,10 +291,11 @@ class FaceCascade:
                 mx, my, mesh_pad = image_ops._source_coords(
                     face_roi_abs, (self.mesh_w, self.mesh_h), False,
                     False)
-                env_ok = env_ok & envelope_ok(mx, my, 32, mesh_band,
-                                              y_align)
+                env_ok = env_ok & envelope_ok(mx, my, cw, mesh_band,
+                                              y_align, x_budget)
                 (mesh_raw,) = warp_sample_multi(
-                    None, [(mx, my)], band=mesh_band, planes=planes)
+                    None, [(mx, my)], band=mesh_band, planes=planes,
+                    cw=cw, xload=xload)
                 mesh_tensor = image_ops._normalize_pixels(
                     mesh_raw, (0.0, 1.0), True)
             else:
@@ -320,13 +338,13 @@ class FaceCascade:
                 rx, ry, rp = image_ops._source_coords(
                     right_roi, (self.iris_w, self.iris_h), True, True)
                 env_ok = (env_ok
-                          & envelope_ok(lx, ly, 32, iris_band,
-                                        y_align)
-                          & envelope_ok(rx, ry, 32, iris_band,
-                                        y_align))
+                          & envelope_ok(lx, ly, cw, iris_band,
+                                        y_align, x_budget)
+                          & envelope_ok(rx, ry, cw, iris_band,
+                                        y_align, x_budget))
                 lt_raw, rt_raw = warp_sample_multi(
                     None, [(lx, ly), (rx, ry)], band=iris_band,
-                    planes=planes)
+                    planes=planes, cw=cw, xload=xload)
                 lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0),
                                                  True)
                 rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0),
