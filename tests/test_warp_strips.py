@@ -276,3 +276,31 @@ def test_cascade_4k_scale_face_keeps_fast_path():
     mesh_px = np.abs((np.asarray(out.mesh[0]) - np.asarray(ref.mesh[0]))
                      * np.array([2880.0, 1920.0, 2880.0]))
     assert mesh_px.max() <= 2.0, mesh_px.max()
+
+
+def test_standalone_mesh_4k_roi_uses_wide_window():
+    """FaceLandmark on a 4K-scale frame with a close-up ROI: the host
+    dispatch must pick the wide 512-lane pallas config (not gather) and
+    match the gather output within the bf16-dot budget."""
+    from PIL import Image
+
+    from tpu_face.models import FaceLandmark
+    from tpu_face.types import Rect
+
+    img = np.asarray(Image.open("/root/reference/test_data/man.jpg")
+                     .convert("RGB").resize((2880, 1920),
+                                            Image.BILINEAR), np.uint8)
+    roi = Rect(0.49, 0.40, 0.39 * 2880 / 2880, 0.58 * 1920 / 1920,
+               -0.0267, normalized=True)
+    roi_abs = np.array([0.49 * 2880, 0.40 * 1920, 0.39 * 2880,
+                        0.58 * 1920, -0.0267], np.float32)
+    cfg = image_ops.choose_warp_method("pallas", roi_abs, (2880, 1920),
+                                       (192, 192), False)
+    assert isinstance(cfg, tuple) and cfg[2] == 512, cfg
+
+    ref = FaceLandmark(warp_method="gather").infer(img, roi)
+    out = FaceLandmark(warp_method="pallas").infer(img, roi)
+    assert len(ref) == 468 and len(out) == 468
+    d = max(max(abs(a.x - b.x) * 2880, abs(a.y - b.y) * 1920)
+            for a, b in zip(ref, out))
+    assert d <= 2.0, d

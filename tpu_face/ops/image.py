@@ -333,7 +333,14 @@ def warp_image_to_tensor(image: jnp.ndarray,
     src_x, src_y, padding = _source_coords(roi_abs, out_size,
                                            keep_aspect_ratio,
                                            flip_horizontal)
-    if method == "pallas":
+    xload = 256
+    if isinstance(method, tuple) and method[0] == "pallas":
+        # explicit per-call config from choose_warp_method (host-side
+        # concrete-ROI dispatch): trust it, skip the worst-case gate
+        from . import pallas_warp
+        _, cw, xload, band = method
+        method = "pallas"
+    elif method == "pallas":
         # Static feasibility gates, falling back to the exact gather
         # (slow but correct):
         #   * the per-block x-extent must fit the 128-lane window, so
@@ -352,7 +359,7 @@ def warp_image_to_tensor(image: jnp.ndarray,
             method = "gather"
     if method == "pallas":
         out = pallas_warp.warp_sample(img, src_x, src_y, band=band,
-                                      cw=cw)
+                                      cw=cw, xload=xload)
     elif method == "mxu":
         out = mxu_sample(img, src_x, src_y, band=band, precision=precision)
     elif method == "separable":
@@ -373,30 +380,45 @@ def resolve_warp_method(method: str = "auto") -> str:
 
 
 def choose_warp_method(method: str, roi_abs_rows, image_size,
-                       out_size, keep_aspect_ratio: bool) -> str:
+                       out_size, keep_aspect_ratio: bool):
     """Per-call warp dispatch for the standalone models' host APIs.
 
-    Their ROI values are CONCRETE before dispatch, so a "pallas" request
-    whose geometry exceeds the kernel's static sampling envelope can
-    simply take the exact gather instead of silently clamping taps (the
-    fused cascade, whose ROIs are traced, surfaces the same condition
-    dynamically as ``CascadeResult.envelope_ok``)."""
+    Their ROI values are CONCRETE before dispatch, so the block
+    geometry is sized to the actual call instead of a worst-case
+    whole-image ROI: the rolled 128-lane window first (cheapest), then
+    the 512-lane wide window for large ROI-to-output scales (4K
+    close-up faces), and only geometry beyond both takes the exact
+    gather.  (The fused cascade, whose ROIs are traced, surfaces the
+    same condition dynamically as ``CascadeResult.envelope_ok``.)
+
+    Returns either a plain method string or a ``("pallas", cw, xload,
+    band)`` config tuple — both hashable jit-cache keys that
+    ``warp_image_to_tensor`` accepts as ``method``."""
     if method != "pallas":
         return method
     import numpy as np
 
     from . import pallas_warp
 
-    w, h = image_size
-    cw = pallas_warp.pick_cw(max(w / out_size[0], h / out_size[1]))
-    if cw == 0:
-        return "gather"
-    band = auto_band(max(w, h), out_size[1])
     rows = np.atleast_2d(np.asarray(roi_abs_rows, np.float32))
-    ok = all(pallas_warp.envelope_ok_host(r, out_size,
-                                          keep_aspect_ratio, cw, band)
-             for r in rows)
-    return "pallas" if ok else "gather"
+    wo, ho = out_size
+    for cw, xload in ((32, 256), (16, 512)):
+        if wo % cw or ho % 8:
+            continue
+        x_budget = 126 if xload == 256 else xload - 129
+        need_band = 0.0
+        ok = True
+        for r in rows:
+            x_ext, y_ext = pallas_warp.extents_host(
+                r, out_size, keep_aspect_ratio, cw)
+            if x_ext > x_budget:
+                ok = False
+                break
+            need_band = max(need_band, y_ext + 7)   # f32 8-row align
+        if ok:
+            band = max(16, -(-int(np.ceil(need_band)) // 8) * 8)
+            return ("pallas", cw, xload, band)
+    return "gather"
 
 
 def auto_band(src_extent: int, out_h: int, minimum: int = 48) -> int:

@@ -90,14 +90,11 @@ def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
     return 0
 
 
-def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
-                     cw: int, band: int, y_align: int = 8,
-                     x_budget: int = XWIN - 2) -> bool:
-    """Host-side (concrete numpy) version of ``envelope_ok`` for the
-    standalone models, whose ROI values are known before dispatch: the
-    per-block source extents follow analytically from the ROI and the
-    letterbox factors (duplicates image._source_coords' derivative
-    algebra — kept in sync with ops/image.py letterbox_padding)."""
+def extents_host(roi_abs, out_size, keep_aspect_ratio: bool, cw: int):
+    """Host-side per-block source extents (x_ext, y_ext_base) of one
+    concrete ROI — y_ext_base excludes the strip-start alignment slack
+    (add ``y_align - 1``).  Duplicates image._source_coords' derivative
+    algebra — kept in sync with ops/image.py letterbox_padding."""
     cx, cy, rw, rh, rot = [float(v) for v in np.asarray(roi_abs)]
     wo, ho = out_size
     if keep_aspect_ratio:
@@ -128,8 +125,18 @@ def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
     dydu = abs(qx_u * rw * s)
     dydv = abs(qy_v * rh * c)
     x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
-    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (y_align - 1)
-    return bool(x_ext <= x_budget and y_ext <= band)
+    y_ext = ROW_TILE * dydv + cw * dydu + 2.0
+    return x_ext, y_ext
+
+
+def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
+                     cw: int, band: int, y_align: int = 8,
+                     x_budget: int = XWIN - 2) -> bool:
+    """Host-side (concrete numpy) ``envelope_ok`` for the standalone
+    models, whose ROI values are known before dispatch."""
+    x_ext, y_ext = extents_host(roi_abs, out_size, keep_aspect_ratio,
+                                cw)
+    return bool(x_ext <= x_budget and y_ext + (y_align - 1) <= band)
 
 
 def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8,
@@ -552,9 +559,9 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
 def warp_sample(image_hwc: jnp.ndarray, src_x: jnp.ndarray,
                 src_y: jnp.ndarray, band: int = 48,
                 dot_dtype=jnp.bfloat16, interpret: bool = False,
-                cw: int = 32) -> jnp.ndarray:
+                cw: int = 32, xload: int = XLOAD) -> jnp.ndarray:
     """Single-grid convenience wrapper over ``warp_sample_multi``."""
     (out,) = warp_sample_multi(image_hwc, [(src_x, src_y)], band=band,
                                dot_dtype=dot_dtype, interpret=interpret,
-                               cw=cw)
+                               cw=cw, xload=xload)
     return out
