@@ -111,3 +111,20 @@ def test_tracker_reset(video):
     assert tracker.tracking.shape == (0,)
     tracker.step(video[1])
     assert tracker.tracking.all()
+
+
+def test_tracker_planar_matches_hwc(video):
+    """Planar ingestion in video mode: identical lock state and meshes
+    to the HWC tracker on the same stream."""
+    t_h = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    t_p = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                      input_layout="planar")
+    for frame in video:
+        rh = t_h.step(frame[None])
+        rp = t_p.step(np.ascontiguousarray(
+            frame[None].transpose(0, 3, 1, 2)))
+        np.testing.assert_array_equal(np.asarray(rh.mesh_valid),
+                                      np.asarray(rp.mesh_valid))
+        np.testing.assert_allclose(np.asarray(rh.mesh),
+                                   np.asarray(rp.mesh), atol=1e-6)
+    assert t_p.tracking.all()
