@@ -172,6 +172,66 @@ int tpuface_jpeg_decode_batch(const uint8_t* const* datas,
   return total;
 }
 
+// Index the frames of an MJPEG byte stream (concatenated JPEGs, the
+// usual IP-camera / multipart stream payload once headers are
+// stripped).  A real segment-structure walk, not a marker grep:
+// entropy-coded scan data escapes 0xFF as FF00/RSTn, so EOI inside a
+// scan is found by skipping to the first FF followed by a non-fill,
+// non-RST byte.  Writes up to max_n (offset, length) pairs; returns
+// the number of frames found (which may equal max_n if truncated).
+int tpuface_mjpeg_index(const uint8_t* data, unsigned long len,
+                        unsigned long* offs, unsigned long* lens,
+                        int max_n) {
+  int n = 0;
+  unsigned long pos = 0;
+  while (n < max_n && pos + 4 <= len) {
+    // find SOI
+    while (pos + 2 <= len && !(data[pos] == 0xFF &&
+                               data[pos + 1] == 0xD8)) {
+      pos++;
+    }
+    if (pos + 2 > len) break;
+    const unsigned long start = pos;
+    unsigned long p = pos + 2;
+    bool done = false, bad = false;
+    while (!done && !bad) {
+      // marker must start with FF (skip fill bytes)
+      if (p + 2 > len) { bad = true; break; }
+      if (data[p] != 0xFF) { bad = true; break; }
+      while (p + 1 < len && data[p + 1] == 0xFF) p++;   // fill
+      if (p + 2 > len) { bad = true; break; }
+      const uint8_t m = data[p + 1];
+      if (m == 0xD9) {                                  // EOI
+        offs[n] = start;
+        lens[n] = (p + 2) - start;
+        n++;
+        pos = p + 2;
+        done = true;
+      } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        p += 2;                                         // standalone
+      } else if (m == 0xDA) {                           // SOS
+        if (p + 4 > len) { bad = true; break; }
+        const unsigned long seg =
+            (static_cast<unsigned long>(data[p + 2]) << 8) | data[p + 3];
+        p += 2 + seg;
+        // entropy-coded data: skip to next real marker
+        while (p + 2 <= len &&
+               !(data[p] == 0xFF && data[p + 1] != 0x00 &&
+                 !(data[p + 1] >= 0xD0 && data[p + 1] <= 0xD7))) {
+          p++;
+        }
+      } else {                                          // length segment
+        if (p + 4 > len) { bad = true; break; }
+        const unsigned long seg =
+            (static_cast<unsigned long>(data[p + 2]) << 8) | data[p + 3];
+        p += 2 + seg;
+      }
+    }
+    if (bad) pos = start + 2;   // resync past the bogus SOI
+  }
+  return n;
+}
+
 // Planar variant of the batch decoder: out is [n, 3, h, w] RGB planes
 // (the layout the device warp kernels consume, so the accelerator
 // never pays a frame transpose).  Returns the number of failed frames

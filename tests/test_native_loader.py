@@ -49,3 +49,48 @@ def test_batch_wrong_size_zero_filled():
     out = native_loader.decode_jpeg_batch([data], 123, 45)
     assert out.shape == (1, 45, 123, 3)
     assert out.sum() == 0
+
+
+def test_mjpeg_split_roundtrip(tmp_path):
+    """Concatenated JPEGs (with EXIF-free libjpeg output) split back
+    into the exact original frame byte strings."""
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for q in (60, 85, 95):
+        img = Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=q)
+        frames.append(buf.getvalue())
+    stream = b"junk" + b"".join(frames) + b"\xff"   # leading garbage
+    parts = native_loader.mjpeg_split(stream)
+    assert parts == frames
+    out = native_loader.decode_jpeg_batch(parts, 64, 48, planar=True)
+    assert out.shape == (3, 3, 48, 64)
+
+
+def test_mjpeg_split_handles_marker_bytes_in_scan():
+    """0xFFD8/0xFFD9-looking bytes inside entropy-coded data must not
+    split a frame (the parser walks segment structure)."""
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    import io
+
+    from PIL import Image
+
+    # noisy image -> dense entropy data; verify single-frame indexing
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(
+        rng.integers(0, 255, (120, 160, 3)).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=98)
+    one = buf.getvalue()
+    parts = native_loader.mjpeg_split(one * 4)
+    assert len(parts) == 4
+    assert all(p == one for p in parts)

@@ -56,6 +56,11 @@ def _load():
     lib.tpuface_jpeg_decode_batch_planar.restype = ctypes.c_int
     lib.tpuface_jpeg_decode_batch_planar.argtypes = \
         lib.tpuface_jpeg_decode_batch.argtypes
+    lib.tpuface_mjpeg_index.restype = ctypes.c_int
+    lib.tpuface_mjpeg_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_ulong,
+        ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_ulong),
+        ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -143,3 +148,27 @@ def load_jpeg_batch(paths: Sequence, width: int, height: int,
     """Read + decode a batch of same-sized JPEG files."""
     datas: List[bytes] = [Path(p).read_bytes() for p in paths]
     return decode_jpeg_batch(datas, width, height, num_threads)
+
+
+def mjpeg_split(data: bytes, max_frames: Optional[int] = None
+                ) -> List[bytes]:
+    """Split an MJPEG byte stream (concatenated JPEGs — the usual
+    IP-camera payload once multipart headers are stripped) into
+    per-frame JPEG byte strings, via the native segment-structure
+    parser (no false frame boundaries inside entropy-coded data).
+
+    Feed the result to ``decode_jpeg_batch(..., planar=True)`` and
+    ``FaceTracker(input_layout="planar")`` for the video path — see
+    examples/track_mjpeg.py."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable — check g++ and "
+                           "libjpeg")
+    if max_frames is None:
+        # a syntactically valid JPEG is >100 bytes; this bound can
+        # never truncate while staying small
+        max_frames = len(data) // 128 + 16
+    offs = (ctypes.c_ulong * max_frames)()
+    lens = (ctypes.c_ulong * max_frames)()
+    n = lib.tpuface_mjpeg_index(data, len(data), offs, lens, max_frames)
+    return [data[offs[i]:offs[i] + lens[i]] for i in range(n)]
