@@ -334,11 +334,12 @@ def warp_image_to_tensor(image: jnp.ndarray,
                                            keep_aspect_ratio,
                                            flip_horizontal)
     xload = 256
+    rt = 8
     if isinstance(method, tuple) and method[0] == "pallas":
         # explicit per-call config from choose_warp_method (host-side
         # concrete-ROI dispatch): trust it, skip the worst-case gate
         from . import pallas_warp
-        _, cw, xload, band = method
+        _, cw, xload, band, rt = method
         method = "pallas"
     elif method == "pallas":
         # Static feasibility gates, falling back to the exact gather
@@ -359,7 +360,7 @@ def warp_image_to_tensor(image: jnp.ndarray,
             method = "gather"
     if method == "pallas":
         out = pallas_warp.warp_sample(img, src_x, src_y, band=band,
-                                      cw=cw, xload=xload)
+                                      cw=cw, xload=xload, rt=rt)
     elif method == "mxu":
         out = mxu_sample(img, src_x, src_y, band=band, precision=precision)
     elif method == "separable":
@@ -406,18 +407,34 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
         if wo % cw or ho % 8:
             continue
         x_budget = 126 if xload == 256 else xload - 129
-        need_band = 0.0
-        ok = True
-        for r in rows:
-            x_ext, y_ext = pallas_warp.extents_host(
-                r, out_size, keep_aspect_ratio, cw)
-            if x_ext > x_budget:
-                ok = False
-                break
-            need_band = max(need_band, y_ext + 7)   # f32 8-row align
-        if ok:
+        # taller row-tiles cut per-output-row strip traffic (the
+        # kernel's measured floor) whenever the exactly-sized band
+        # grows sub-linearly in rt — pick the cheapest feasible one
+        # (cost model: tiles * band = total strip rows per warp)
+        best = None
+        for rt in (32, 16, 8):
+            if ho % rt:
+                continue
+            need_band = 0.0
+            ok = True
+            for r in rows:
+                x_ext, y_ext = pallas_warp.extents_host(
+                    r, out_size, keep_aspect_ratio, cw, rt)
+                if x_ext > x_budget:
+                    ok = False
+                    break
+                need_band = max(need_band, y_ext + 7)  # 8-row align
+            if not ok:
+                continue
             band = max(16, -(-int(np.ceil(need_band)) // 8) * 8)
-            return ("pallas", cw, xload, band)
+            if band > 256:
+                continue
+            cost = (ho // rt) * band
+            if best is None or cost < best[0]:
+                best = (cost, rt, band)
+        if best is not None:
+            _, rt, band = best
+            return ("pallas", cw, xload, band, rt)
     return "gather"
 
 

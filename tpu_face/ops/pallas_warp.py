@@ -90,7 +90,8 @@ def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
     return 0
 
 
-def extents_host(roi_abs, out_size, keep_aspect_ratio: bool, cw: int):
+def extents_host(roi_abs, out_size, keep_aspect_ratio: bool, cw: int,
+                 rt: int = ROW_TILE):
     """Host-side per-block source extents (x_ext, y_ext_base) of one
     concrete ROI — y_ext_base excludes the strip-start alignment slack
     (add ``y_align - 1``).  Duplicates image._source_coords' derivative
@@ -124,8 +125,8 @@ def extents_host(roi_abs, out_size, keep_aspect_ratio: bool, cw: int):
     dxdv = abs(qy_v * rh * s)
     dydu = abs(qx_u * rw * s)
     dydv = abs(qy_v * rh * c)
-    x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
-    y_ext = ROW_TILE * dydv + cw * dydu + 2.0
+    x_ext = cw * dxdu + rt * dxdv + 2.0
+    y_ext = rt * dydv + cw * dydu + 2.0
     return x_ext, y_ext
 
 
@@ -140,7 +141,7 @@ def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
 
 
 def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8,
-                x_budget: int = XWIN - 2):
+                x_budget: int = XWIN - 2, rt: int = ROW_TILE):
     """Traced per-warp check that a coordinate grid fits the kernel's
     static windows (the docstring's x/y extent constraints).
 
@@ -159,8 +160,8 @@ def envelope_ok(src_x, src_y, cw: int, band: int, y_align: int = 8,
     dxdv = jnp.abs(src_x[1, 0] - src_x[0, 0])
     dydu = jnp.abs(src_y[0, 1] - src_y[0, 0])
     dydv = jnp.abs(src_y[1, 0] - src_y[0, 0])
-    x_ext = cw * dxdu + ROW_TILE * dxdv + 2.0
-    y_ext = ROW_TILE * dydv + cw * dydu + 2.0 + (y_align - 1)
+    x_ext = cw * dxdu + rt * dxdv + 2.0
+    y_ext = rt * dydv + cw * dydu + 2.0 + (y_align - 1)
     return (x_ext <= float(x_budget)) & (y_ext <= band)
 
 
@@ -389,13 +390,13 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
     return fn
 
 
-def _blocked(a, ho, wo, cw):
+def _blocked(a, ho, wo, cw, rt=ROW_TILE):
     """[Ho, Wo] -> [T, CB, 1, PB] block-row-major coordinate layout."""
-    t = ho // ROW_TILE
+    t = ho // rt
     cb = wo // cw
-    return (a.reshape(t, ROW_TILE, cb, cw)
+    return (a.reshape(t, rt, cb, cw)
             .transpose(0, 2, 1, 3)
-            .reshape(t, cb, 1, ROW_TILE * cw))
+            .reshape(t, cb, 1, rt * cw))
 
 
 def make_planes(image_hwc, band: int = 48, dtype=jnp.float32,
@@ -451,7 +452,7 @@ def make_planes(image_hwc, band: int = 48, dtype=jnp.float32,
 def warp_sample_multi(image_hwc, coords, band: int = 48,
                       dot_dtype=jnp.bfloat16, interpret: bool = False,
                       planes=None, cw: int = 32, wide: bool = False,
-                      xload: int = XLOAD):
+                      xload: int = XLOAD, rt: int = ROW_TILE):
     """Bilinear-sample several same-width output grids from one frame
     in one pallas_call (single VMEM fetch of the planes).
 
@@ -486,16 +487,16 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
     shapes = []
     for src_x, _ in coords:
         ho, wo = src_x.shape
-        assert ho % ROW_TILE == 0 and wo % cw == 0, (ho, wo)
+        assert ho % rt == 0 and wo % cw == 0, (ho, wo, rt)
         shapes.append((ho, wo))
     widths = {wo for _, wo in shapes}
     assert len(widths) == 1, f"segment widths must agree, got {widths}"
     cb = shapes[0][1] // cw
-    pb = ROW_TILE * cw
+    pb = rt * cw
 
-    xs = jnp.concatenate([_blocked(sx, ho, wo, cw)
+    xs = jnp.concatenate([_blocked(sx, ho, wo, cw, rt)
                           for (sx, _), (ho, wo) in zip(coords, shapes)])
-    ys = jnp.concatenate([_blocked(sy, ho, wo, cw)
+    ys = jnp.concatenate([_blocked(sy, ho, wo, cw, rt)
                           for (_, sy), (ho, wo) in zip(coords, shapes)])
     t_total = xs.shape[0]
 
@@ -547,10 +548,10 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
     results = []
     start = 0
     for ho, wo in shapes:
-        t = ho // ROW_TILE
+        t = ho // rt
         seg = out[start:start + t]
         start += t
-        results.append(seg.reshape(t, 3, cb, ROW_TILE, cw)
+        results.append(seg.reshape(t, 3, cb, rt, cw)
                        .transpose(0, 3, 2, 4, 1)
                        .reshape(ho, wo, 3))
     return results
@@ -559,9 +560,10 @@ def warp_sample_multi(image_hwc, coords, band: int = 48,
 def warp_sample(image_hwc: jnp.ndarray, src_x: jnp.ndarray,
                 src_y: jnp.ndarray, band: int = 48,
                 dot_dtype=jnp.bfloat16, interpret: bool = False,
-                cw: int = 32, xload: int = XLOAD) -> jnp.ndarray:
+                cw: int = 32, xload: int = XLOAD, rt: int = ROW_TILE
+                ) -> jnp.ndarray:
     """Single-grid convenience wrapper over ``warp_sample_multi``."""
     (out,) = warp_sample_multi(image_hwc, [(src_x, src_y)], band=band,
                                dot_dtype=dot_dtype, interpret=interpret,
-                               cw=cw, xload=xload)
+                               cw=cw, xload=xload, rt=rt)
     return out
