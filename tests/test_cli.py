@@ -90,3 +90,19 @@ def test_cli_embed_with_converted_model(capsys):
     assert rc == 0
     assert d["dim"] in (128, 512)
     assert d["cosine_similarity"] > 0.3
+
+
+def test_cli_cascade_batch(capsys):
+    """Fused-pipeline CLI: one JSON line per image, BASELINE values."""
+    rc = main(["cascade", MAN, MAN, "--pixels"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and len(lines) == 2
+    for d in lines:
+        f = d["faces"][0]
+        assert f["mesh_valid"] is True
+        assert f["bbox"] == pytest.approx([195.6, 74.1, 334.9, 213.4],
+                                          abs=1.5)
+        assert f["nose"] == pytest.approx([263.85, 143.37], abs=1.0)
+        assert f["iris_centers"][0] == pytest.approx([236.17, 108.88],
+                                                     abs=1.0)

@@ -186,6 +186,59 @@ def cmd_embed(args):
     return 0
 
 
+def cmd_cascade(args):
+    """Fused-pipeline batch: all images run as ONE jitted XLA program
+    (the serving path), one JSON line per image."""
+    import numpy as np
+
+    from .pipeline import FaceCascade
+
+    imgs = []
+    size = None
+    for path in args.images:
+        img, s = _load(path)
+        if size is None:
+            size = s
+        elif s != size:
+            print(json.dumps({"error": f"{path} is {s}, batch is "
+                                       f"{size} — same-size images "
+                                       f"only"}))
+            return 1
+        imgs.append(img)
+    batch = np.stack(imgs)
+    cascade = FaceCascade(_model_enum(args.model),
+                          model_path=args.model_path,
+                          max_faces=args.max_faces)
+    res = cascade.infer_batch(batch)
+    w, h = size
+    sx, sy = (w, h) if args.pixels else (1.0, 1.0)
+    for i, path in enumerate(args.images):
+        det = np.asarray(res.detection[i]).reshape(-1, 8, 2)
+        score = np.asarray(res.score[i]).reshape(-1)
+        valid = np.asarray(res.mesh_valid[i]).reshape(-1)
+        fvalid = np.asarray(res.face_valid[i]).reshape(-1)
+        mesh = np.asarray(res.mesh[i]).reshape(-1, 468, 3)
+        iris = np.asarray(res.iris[i]).reshape(-1, 2, 5, 3)
+        faces = []
+        for f in range(det.shape[0]):
+            if not fvalid[f]:
+                continue
+            faces.append({
+                "score": round(float(score[f]), 4),
+                "bbox": [round(float(v) * s, 4) for v, s in
+                         zip(det[f, :2].reshape(-1), (sx, sy, sx, sy))],
+                "mesh_valid": bool(valid[f]),
+                "nose": [round(float(mesh[f, 1, 0]) * sx, 4),
+                         round(float(mesh[f, 1, 1]) * sy, 4)],
+                "iris_centers": [
+                    [round(float(iris[f, e, 0, 0]) * sx, 4),
+                     round(float(iris[f, e, 0, 1]) * sy, 4)]
+                    for e in range(2)],
+            })
+        print(json.dumps({"image": path, "faces": faces}))
+    return 0
+
+
 def cmd_info(args):
     import jax
 
@@ -239,6 +292,18 @@ def main(argv=None):
                        help="face embedding cosine similarity")
     common(p, two_images=True)
     p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser("cascade",
+                       help="fused batch pipeline over many images")
+    p.add_argument("images", nargs="+",
+                   help="same-sized input images (one XLA program)")
+    p.add_argument("--model", default="back",
+                   choices=["front", "back", "short", "full",
+                            "full_sparse"])
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--pixels", action="store_true")
+    p.add_argument("--max-faces", type=int, default=1)
+    p.set_defaults(fn=cmd_cascade)
 
     p = sub.add_parser("info", help="version / backend / models")
     p.set_defaults(fn=cmd_info)
