@@ -164,7 +164,11 @@ class FaceDetection:
         same-sized RGB images -> per-image detection lists.  The whole
         batch runs as one vmapped XLA program (a capability the
         single-image reference lacks)."""
-        images = np.asarray(images)
+        # normalize lists only: .shape works on host AND device
+        # arrays, and np.asarray on a device array would pull the
+        # whole batch back through the host
+        if not hasattr(images, "shape"):
+            images = np.asarray(images)
         b, h, w = images.shape[:3]
         rois = np.broadcast_to(
             np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32), (b, 5))

@@ -188,7 +188,11 @@ class FaceLandmark:
         Low-presence entries are NOT filtered (check ``presence``
         against the 0.5 threshold)."""
         import jax as _jax
-        images = np.asarray(images)
+        # normalize lists only: .shape works on host AND device
+        # arrays, and np.asarray on a device array would pull the
+        # whole batch back through the host
+        if not hasattr(images, "shape"):
+            images = np.asarray(images)
         b, h, w = images.shape[:3]
         roi_abs = np.stack([
             _rect_to_abs(r, w, h) for r in rois]).astype(np.float32)

@@ -291,7 +291,11 @@ class IrisLandmark:
         ROIs + B flip flags -> (contour [B, 71, 3], iris [B, 5, 3])
         np.ndarrays."""
         from .face_landmark import _rect_to_abs
-        images = np.asarray(images)
+        # normalize lists only: .shape works on host AND device
+        # arrays, and np.asarray on a device array would pull the
+        # whole batch back through the host
+        if not hasattr(images, "shape"):
+            images = np.asarray(images)
         b, h, w = images.shape[:3]
         roi_abs = np.stack([
             _rect_to_abs(r, w, h) for r in rois]).astype(np.float32)
