@@ -73,11 +73,13 @@ def main():
     locked = 0
     for i in range(0, len(frames), 1):
         # one stream, frame by frame (batch>1 would be parallel
-        # streams; a single video is sequential by nature)
+        # streams; a single video is sequential by nature).  Lock
+        # state BEFORE a step says whether THIS step skips the
+        # detector (post-step state describes the next one).
+        locked += int(np.asarray(tracker.tracking).sum())
         batch = native_loader.decode_jpeg_batch(frames[i:i + 1], w, h,
                                                 planar=True)
         res = tracker.step(batch)
-        locked += int(np.asarray(tracker.tracking).sum())
     dt = time.perf_counter() - t0
     valid = np.asarray(res.mesh_valid)
     print(f"{len(frames)} frames in {dt:.2f}s "

@@ -21,14 +21,14 @@ for absolute pixel values.
 
 import argparse
 import json
+import os
 import sys
 
 
 def _load(path):
-    import numpy as np
-    from PIL import Image
+    from .utils.image_io import load_image
 
-    img = np.asarray(Image.open(path).convert("RGB"))
+    img = load_image(path)
     h, w = img.shape[:2]
     return img, (w, h)
 
@@ -309,6 +309,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    # TPU compiles go through a remote helper here (minutes per new
+    # shape); the persistent cache makes repeat CLI invocations hot
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/tpu_face_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return args.fn(args)
 
 

@@ -393,7 +393,7 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
     same condition dynamically as ``CascadeResult.envelope_ok``.)
 
     Returns either a plain method string or a ``("pallas", cw, xload,
-    band)`` config tuple — both hashable jit-cache keys that
+    band, rt)`` config tuple — both hashable jit-cache keys that
     ``warp_image_to_tensor`` accepts as ``method``."""
     if method != "pallas":
         return method
@@ -403,8 +403,12 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
 
     rows = np.atleast_2d(np.asarray(roi_abs_rows, np.float32))
     wo, ho = out_size
+    # the kernel clamps xload to the padded plane width, so a config
+    # whose x-budget assumes a wider load than the image provides
+    # would silently lose taps — validate against the real width
+    wp = max(-(-image_size[0] // 128) * 128, 256)
     for cw, xload in ((32, 256), (16, 512)):
-        if wo % cw or ho % 8:
+        if wo % cw or ho % 8 or xload > wp:
             continue
         x_budget = 126 if xload == 256 else xload - 129
         # taller row-tiles cut per-output-row strip traffic (the

@@ -224,8 +224,10 @@ class FaceCascade:
         (tools/tpu_bf16_planes_probe.py: bf16+wide loses ~6% at 540p
         because the wide window cancels the vreg saving).  Beyond the
         f32 residency envelope, bf16 planes (pixel-exact for uint8
-        sources) halve the strip-DMA traffic AND double the residency
-        envelope — 1080p planes stay VMEM-resident in bf16."""
+        sources) take the HBM strip-DMA path with HALVED per-block DMA
+        traffic (make_planes gates residency at f32 size for every
+        dtype — near-budget bf16-resident sets fail Mosaic
+        compilation)."""
         from .ops.pallas_warp import planes_fit_vmem
         w, h = image_size
         if planes_fit_vmem(h, w):

@@ -164,11 +164,14 @@ def mjpeg_split(data: bytes, max_frames: Optional[int] = None
     if lib is None:
         raise RuntimeError("native loader unavailable — check g++ and "
                            "libjpeg")
-    if max_frames is None:
-        # a syntactically valid JPEG is >100 bytes; this bound can
-        # never truncate while staying small
-        max_frames = len(data) // 128 + 16
-    offs = (ctypes.c_ulong * max_frames)()
-    lens = (ctypes.c_ulong * max_frames)()
-    n = lib.tpuface_mjpeg_index(data, len(data), offs, lens, max_frames)
-    return [data[offs[i]:offs[i] + lens[i]] for i in range(n)]
+    bound = max_frames if max_frames is not None \
+        else len(data) // 128 + 16
+    while True:
+        offs = (ctypes.c_ulong * bound)()
+        lens = (ctypes.c_ulong * bound)()
+        n = lib.tpuface_mjpeg_index(data, len(data), offs, lens, bound)
+        # n == bound may mean truncation (the indexer stops at max_n);
+        # retry with a larger bound unless the caller capped it
+        if n < bound or max_frames is not None:
+            return [data[offs[i]:offs[i] + lens[i]] for i in range(n)]
+        bound *= 4
