@@ -304,3 +304,17 @@ def test_standalone_mesh_4k_roi_uses_wide_window():
     d = max(max(abs(a.x - b.x) * 2880, abs(a.y - b.y) * 1920)
             for a, b in zip(ref, out))
     assert d <= 2.0, d
+
+
+def test_warp_cfg_narrow_tall_frame_budget():
+    """A >2560-px-tall but narrow frame cannot load 512 lanes; the
+    cascade's warp config must shrink the x-budget with the padded
+    plane width instead of over-promising the envelope."""
+    from tpu_face.pipeline import FaceCascade
+
+    cw, xload, x_budget = FaceCascade._warp_cfg((300, 2700))
+    assert xload == 384 and x_budget == 384 - 129
+    cw, xload, x_budget = FaceCascade._warp_cfg((2160, 3840))
+    assert xload == 512 and x_budget == 383
+    cw, xload, x_budget = FaceCascade._warp_cfg((540, 360))
+    assert (cw, xload, x_budget) == (32, 256, 126)

@@ -242,9 +242,14 @@ class FaceCascade:
         ROI scales ~8x the 192 output (and iris scales ~9x the 64),
         beyond the rolled 128-lane window's extent.  Past 2560 px the
         warps switch to cw=16 with a 512-lane wide window — x-budget
-        383 lanes admits ROI scale ~19 (faces to ~2400 px at 4K)."""
+        383 lanes admits ROI scale ~19 (faces to ~2400 px at 4K).  On
+        a tall NARROW frame the padded plane width caps the load (the
+        kernel clamps xload to it), so the budget honestly shrinks
+        with it instead of over-promising the envelope."""
         if max(image_size) > 2560:
-            return 16, 512, 512 - 129
+            wp = max(-(-image_size[0] // 128) * 128, 256)
+            xload = min(512, wp)
+            return 16, xload, xload - 129
         return 32, 256, 126
 
     @staticmethod
