@@ -42,9 +42,6 @@ def synth_mjpeg(n_frames: int) -> bytes:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stream", nargs="?", help="MJPEG file (optional)")
-    ap.add_argument("--batch", type=int, default=8,
-                    help="frames per tracker step (parallel streams "
-                         "use one stream here: batch = time chunks)")
     args = ap.parse_args()
 
     import jax

@@ -403,18 +403,23 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
 
     rows = np.atleast_2d(np.asarray(roi_abs_rows, np.float32))
     wo, ho = out_size
-    # the kernel clamps xload to the padded plane width, so a config
-    # whose x-budget assumes a wider load than the image provides
-    # would silently lose taps — validate against the real width
+    # the kernel clamps xload to the padded plane width, so the wide
+    # config's x-budget must shrink with narrow frames (same clamp
+    # rule as FaceCascade._warp_cfg) instead of over-promising
     wp = max(-(-image_size[0] // 128) * 128, 256)
-    for cw, xload in ((32, 256), (16, 512)):
-        if wo % cw or ho % 8 or xload > wp:
+    for cw, xload in ((32, 256), (16, min(512, wp))):
+        if wo % cw or ho % 8:
             continue
         x_budget = 126 if xload == 256 else xload - 129
         # taller row-tiles cut per-output-row strip traffic (the
-        # kernel's measured floor) whenever the exactly-sized band
-        # grows sub-linearly in rt — pick the cheapest feasible one
-        # (cost model: tiles * band = total strip rows per warp)
+        # kernel's measured floor) whenever the band grows
+        # sub-linearly in rt — pick the cheapest feasible one
+        # (cost model: tiles * band = total strip rows per warp).
+        # The band is rounded UP to 32-row buckets: the tuple below is
+        # a jit-cache key, and a continuously ROI-derived band would
+        # recompile the whole model pipeline every few frames of a
+        # slowly-zooming video (minutes per compile on remote-compile
+        # setups); buckets bound the key space per (h, w, cw).
         best = None
         for rt in (32, 16, 8):
             if ho % rt:
@@ -430,7 +435,7 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
                 need_band = max(need_band, y_ext + 7)  # 8-row align
             if not ok:
                 continue
-            band = max(16, -(-int(np.ceil(need_band)) // 8) * 8)
+            band = -(-max(32, int(np.ceil(need_band))) // 32) * 32
             if band > 256:
                 continue
             cost = (ho // rt) * band

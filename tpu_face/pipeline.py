@@ -137,33 +137,41 @@ class FaceCascade:
 
     # ---- single-image program (vmapped over batch) ---------------------
 
-    def _single(self, image, image_size):
-        w, h = image_size
-        # frame size does not gate the Pallas path: beyond ~720p the
-        # kernel switches to HBM-resident planes with per-block strip
-        # DMA (ops/pallas_warp.make_planes dispatches residency)
-        warp = self._warp
-        # The exact-gather paths (and the standalone-model semantics)
-        # work on HWC; under "planar" input the transpose only actually
-        # lowers on those paths (XLA DCEs it when every consumer reads
-        # the channel planes instead).
+    def _prepare_frame(self, image, image_size):
+        """(img_f32_hwc, planes) for one frame — the ONE place the
+        plane build and planar->HWC handling live (the full cascade
+        and the tracked path must stay in sync).
+
+        The exact-gather paths (and the standalone-model semantics)
+        work on HWC; under "planar" input the transpose only actually
+        lowers on those paths (XLA DCEs it when every consumer reads
+        the channel planes instead).  Padded channel planes are built
+        ONCE per frame and shared by every Pallas warp of the frame
+        (detection + mesh + both irises); dtype per frame size
+        (_plane_cfg): f32 while VMEM-resident, bf16 beyond
+        (pixel-exact for uint8 sources, halves DMA traffic).  With
+        "planar" input the build is a pure pad+convert — the host
+        decoder already emits channel planes
+        (native_loader.decode_jpeg_batch(planar=True))."""
         img = (image if self._layout == "hwc"
                else image.transpose(1, 2, 0)).astype(jnp.float32)
-        # padded channel planes built ONCE per frame, shared by every
-        # Pallas warp of the frame (detection + mesh + both irises);
-        # dtype per frame size (_plane_cfg): f32 while VMEM-resident,
-        # bf16 beyond (pixel-exact for uint8 sources, halves DMA
-        # traffic).  With "planar" input the build is a pure
-        # pad+convert — the host decoder already emits channel planes
-        # (native_loader.decode_jpeg_batch(planar=True)).
         planes = None
-        if warp == "pallas":
+        if self._warp == "pallas":
             from .ops.pallas_warp import make_planes
             # plane height must cover the LARGEST band any warp uses
             planes = make_planes(image,
                                  band=max(self._bands(image_size)),
                                  dtype=self._plane_cfg(image_size)[0],
                                  layout=self._layout)
+        return img, planes
+
+    def _single(self, image, image_size):
+        w, h = image_size
+        # frame size does not gate the Pallas path: beyond ~720p the
+        # kernel switches to HBM-resident planes with per-block strip
+        # DMA (ops/pallas_warp.make_planes dispatches residency)
+        warp = self._warp
+        img, planes = self._prepare_frame(image, image_size)
 
         # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two

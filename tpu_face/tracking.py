@@ -93,16 +93,9 @@ class FaceTracker:
         """Mesh+iris stages only, from a landmark-derived ROI."""
         c = self.cascade
         warp = c._warp
-        planes = None
-        if warp == "pallas":
-            from .ops.pallas_warp import make_planes
-            planes = make_planes(image, band=max(c._bands(image_size)),
-                                 dtype=c._plane_cfg(image_size)[0],
-                                 layout=c._layout)
-        if c._layout == "planar":
-            # HWC view for the exact-gather branches (DCE'd when the
-            # Pallas planes serve every warp)
-            image = image.transpose(1, 2, 0)
+        # plane build + planar handling shared with the full cascade
+        # (pipeline._prepare_frame is the single source of truth)
+        img, planes = c._prepare_frame(image, image_size)
         # detection fields carry the tracked ROI's bbox (score 1.0 =
         # "locked"); the mesh ROI itself is injected, not rederived
         w, h = image_size
@@ -112,7 +105,7 @@ class FaceTracker:
         det = jnp.concatenate([
             (center - half)[None], (center + half)[None],
             jnp.zeros((6, 2), jnp.float32)])
-        return c._face_stages(image.astype(jnp.float32), planes, det,
+        return c._face_stages(img, planes, det,
                               jnp.float32(1.0), jnp.asarray(True),
                               image_size, warp, face_roi_abs=roi_abs)
 

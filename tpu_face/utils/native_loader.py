@@ -164,8 +164,10 @@ def mjpeg_split(data: bytes, max_frames: Optional[int] = None
     if lib is None:
         raise RuntimeError("native loader unavailable — check g++ and "
                            "libjpeg")
+    # start from a realistic frame-size estimate; the n == bound
+    # retry below regrows for pathological tiny-frame streams
     bound = max_frames if max_frames is not None \
-        else len(data) // 128 + 16
+        else len(data) // 4096 + 16
     while True:
         offs = (ctypes.c_ulong * bound)()
         lens = (ctypes.c_ulong * bound)()
