@@ -194,3 +194,22 @@ def test_load_image_float_conventions():
     wild = np.array([[[300.0, -5.0, 254.6]]])
     np.testing.assert_array_equal(load_image(wild),
                                   [[[255, 0, 255]]])
+
+
+def test_choose_warp_method_buckets_jit_keys():
+    """The per-call pallas config is a jit-cache key: nearby ROIs (a
+    slowly-zooming video) must map to the SAME tuple, not a fresh
+    compile every few frames."""
+    import numpy as np
+
+    from tpu_face.ops import image as image_ops
+
+    cfgs = set()
+    for grow in range(0, 24, 2):   # face ROI growing 2 px per "frame"
+        roi = np.array([265.0, 144.0, 209.0 + grow, 209.0 + grow,
+                        0.03], np.float32)
+        cfg = image_ops.choose_warp_method("pallas", roi, (540, 360),
+                                           (192, 192), False)
+        assert isinstance(cfg, tuple)
+        cfgs.add(cfg)
+    assert len(cfgs) <= 2, cfgs  # 32-row band buckets bound the keys
