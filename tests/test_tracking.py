@@ -128,3 +128,58 @@ def test_tracker_planar_matches_hwc(video):
         np.testing.assert_allclose(np.asarray(rh.mesh),
                                    np.asarray(rp.mesh), atol=1e-6)
     assert t_p.tracking.all()
+
+
+@pytest.fixture(scope="module")
+def two_face_video():
+    """Two russ_cox faces composited side by side, panning slowly."""
+    from PIL import Image
+    a = Image.open("/root/reference/test_data/russ_cox_1.jpg")
+    b = Image.open("/root/reference/test_data/russ_cox_2.jpg")
+    size = (200, 225)
+    comp = np.concatenate(
+        [np.asarray(a.convert("RGB").resize(size)),
+         np.asarray(b.convert("RGB").resize(size))], axis=1)
+    return [np.roll(comp, 2 * i, axis=1) for i in range(4)]
+
+
+def test_multiface_tracker_locks_and_tracks(two_face_video):
+    from tpu_face.pipeline import FaceCascade
+    from tpu_face.tracking import MultiFaceTracker
+
+    tracker = MultiFaceTracker(FaceDetectionModel.FULL, max_faces=4)
+    cascade = FaceCascade(FaceDetectionModel.FULL, max_faces=4)
+    r0 = tracker.step(two_face_video[0][None])     # detect + lock
+    assert tracker.tracking.all()
+    assert tracker.face_count[0] == 2
+    for frame in two_face_video[1:]:
+        r = tracker.step(frame[None])
+        assert tracker.tracking.all()
+        ref = cascade.infer_batch(frame[None])
+        # both tracked meshes match the per-frame cascade within a
+        # small pixel budget (tracked ROIs come from the previous
+        # frame, so they differ slightly from detector-derived ROIs)
+        w, h = 400, 225
+        for k in range(2):
+            assert bool(r.mesh_valid[0, k])
+            d = np.abs((np.asarray(r.mesh[0, k])
+                        - np.asarray(ref.mesh[0, k]))
+                       * np.array([w, h, w]))
+            assert d.max() <= 3.0, (k, d.max())
+
+
+def test_multiface_tracker_loss_triggers_redetect(two_face_video):
+    from tpu_face.tracking import MultiFaceTracker
+
+    tracker = MultiFaceTracker(FaceDetectionModel.FULL, max_faces=4)
+    tracker.step(two_face_video[0][None])
+    assert tracker.face_count[0] == 2
+    # blank out the right face: its slot loses presence -> unlock
+    lost = two_face_video[1].copy()
+    lost[:, 200:] = 0
+    tracker.step(lost[None])
+    assert not tracker.tracking.all()
+    # next step redetects and relocks on the remaining face
+    tracker.step(lost[None])
+    assert tracker.tracking.all()
+    assert tracker.face_count[0] == 1

@@ -175,3 +175,166 @@ class FaceTracker:
         if self._state is None:
             return np.zeros(0, bool)
         return np.asarray(self._state.valid)
+
+
+class MultiTrackerState(NamedTuple):
+    roi: jnp.ndarray      # [B, K, 5] absolute per-face ROIs
+    valid: jnp.ndarray    # [B, K] bool: slot holds a tracked face
+    locked: jnp.ndarray   # [B] bool: stream may skip the detector
+
+
+class MultiFaceTracker:
+    """K-face video tracking over B parallel streams.
+
+    Like ``FaceTracker`` but every stream tracks up to ``max_faces``
+    faces simultaneously: while a stream stays locked, each valid face
+    slot derives its next ROI from its own previous mesh and only the
+    mesh+iris stages run (one program over the B*K face grid — the
+    detector CNN is skipped through a real batch-level ``lax.cond``).
+    A stream UNLOCKS (full detection next step) when any tracked face
+    loses mesh presence.  Slot identity is stable while locked; a
+    re-detection re-fills slots in NMS score order, so identities may
+    permute across a loss.  NOTE: faces ENTERING the scene are only
+    discovered by the detector — set ``redetect_every`` to rediscover
+    periodically, exactly like the upstream tracking graph's
+    re-detection interval.
+
+    >>> tracker = MultiFaceTracker(max_faces=4)
+    >>> for frames in video_batches:          # [B, H, W, 3]
+    ...     result = tracker.step(frames)     # CascadeResult [B, K, ...]
+    """
+
+    def __init__(self,
+                 detection_model: FaceDetectionModel =
+                 FaceDetectionModel.BACK_CAMERA,
+                 model_path: Optional[str] = None,
+                 max_faces: int = 4,
+                 compute_dtype=jnp.float32,
+                 warp_method: str = "auto",
+                 redetect_every: Optional[int] = None,
+                 input_layout: str = "hwc"):
+        assert max_faces >= 1
+        self.cascade = FaceCascade(detection_model,
+                                   model_path=model_path,
+                                   compute_dtype=compute_dtype,
+                                   warp_method=warp_method,
+                                   max_faces=max_faces,
+                                   input_layout=input_layout)
+        self.max_faces = max_faces
+        self.redetect_every = redetect_every
+        self._state: Optional[MultiTrackerState] = None
+        self._state_hw: Optional[Tuple[int, int]] = None
+        self._steps = 0
+        self._jitted = {}
+
+    # ---- jitted step -----------------------------------------------------
+
+    def _tracked_single(self, image, rois, valid, image_size):
+        """Mesh+iris stages for K tracked faces of one frame (planes
+        built once, shared by every face's warps)."""
+        c = self.cascade
+        img, planes = c._prepare_frame(image, image_size)
+        w, h = image_size
+
+        def per_face(roi_abs, v):
+            # empty slots still execute (fixed shapes); give them a
+            # unit ROI so the warp math stays NaN-free — the result is
+            # masked by v anyway
+            roi_abs = jnp.where(v, roi_abs,
+                                jnp.array([w / 2.0, h / 2.0, 64.0,
+                                           64.0, 0.0], jnp.float32))
+            cx, cy = roi_abs[0], roi_abs[1]
+            rw, rh = roi_abs[2], roi_abs[3]
+            half = jnp.stack([rw / w, rh / h]) / 2.0
+            center = jnp.stack([cx / w, cy / h])
+            det = jnp.concatenate([
+                (center - half)[None], (center + half)[None],
+                jnp.zeros((6, 2), jnp.float32)])
+            return c._face_stages(img, planes, det,
+                                  v.astype(jnp.float32), v,
+                                  image_size, c._warp,
+                                  face_roi_abs=roi_abs)
+
+        return jax.vmap(per_face)(rois, valid)
+
+    def _step_fn(self, images, rois, valid, locked, force_detect,
+                 image_size):
+        c = self.cascade
+
+        def full_path(_):
+            return jax.vmap(
+                lambda im: c._single(im, image_size))(images)
+
+        def tracked_path(_):
+            return jax.vmap(
+                lambda im, r, v: self._tracked_single(im, r, v,
+                                                      image_size)
+            )(images, rois, valid)
+
+        all_locked = jnp.all(locked) & jnp.logical_not(force_detect)
+        res = jax.lax.cond(all_locked, tracked_path, full_path,
+                           operand=None)
+        next_roi = jax.vmap(jax.vmap(
+            lambda m: roi_from_mesh(m, image_size)))(res.mesh)
+        next_valid = res.mesh_valid                       # [B, K]
+        # locked: >= 1 face AND no previously-tracked face lost this
+        # step (a loss forces a full detection pass next frame)
+        lost = jnp.any(valid & jnp.logical_not(next_valid), axis=-1)
+        next_locked = jnp.any(next_valid, axis=-1) & jnp.logical_not(
+            jnp.where(all_locked, lost, False))
+        return res, MultiTrackerState(next_roi, next_valid,
+                                      next_locked)
+
+    def _get_jitted(self, hw):
+        if hw not in self._jitted:
+            h, w = hw
+            self._jitted[hw] = jax.jit(
+                lambda images, rois, valid, locked, force:
+                self._step_fn(images, rois, valid, locked, force,
+                              (w, h)))
+        return self._jitted[hw]
+
+    # ---- host API --------------------------------------------------------
+
+    def reset(self):
+        self._state = None
+        self._state_hw = None
+        self._steps = 0
+
+    def step(self, images) -> CascadeResult:
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        if self.cascade._layout == "planar":
+            b, _, h, w = images.shape
+        else:
+            b, h, w, _ = images.shape
+        k = self.max_faces
+        if (self._state is None or self._state.valid.shape[0] != b
+                or self._state_hw != (h, w)):
+            self._state = MultiTrackerState(
+                jnp.zeros((b, k, 5), jnp.float32),
+                jnp.zeros((b, k), bool),
+                jnp.zeros((b,), bool))
+            self._state_hw = (h, w)
+        force = (self.redetect_every is not None
+                 and self._steps % self.redetect_every == 0)
+        res, self._state = self._get_jitted((h, w))(
+            images, self._state.roi, self._state.valid,
+            self._state.locked, jnp.asarray(force))
+        self._steps += 1
+        return res
+
+    @property
+    def tracking(self) -> np.ndarray:
+        """Per-stream bool: next step skips detection iff all True."""
+        if self._state is None:
+            return np.zeros(0, bool)
+        return np.asarray(self._state.locked)
+
+    @property
+    def face_count(self) -> np.ndarray:
+        """Per-stream count of currently tracked faces."""
+        if self._state is None:
+            return np.zeros(0, np.int32)
+        return np.asarray(self._state.valid).sum(axis=-1)
