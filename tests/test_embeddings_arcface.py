@@ -162,6 +162,91 @@ def test_arcface_e2e_matches_reference_pipeline(arcface):
     assert cos > 0.9995, cos
 
 
+def test_arcface_infer_batch_matches_single(arcface):
+    """infer_batch == per-image infer, one vmapped program."""
+    _, npz_dir = arcface
+    emb = FaceEmbeddings(model_path=npz_dir)
+    b1, b2 = _detect_bbox(RUSS_1), _detect_bbox(RUSS_2)
+    img1, img2 = load_image(RUSS_1), load_image(RUSS_2)
+    # same canvas size for the batch: pad img2 up to img1's extent
+    h = max(img1.shape[0], img2.shape[0])
+    w = max(img1.shape[1], img2.shape[1])
+
+    def pad(im):
+        out = np.zeros((h, w, 3), np.uint8)
+        out[:im.shape[0], :im.shape[1]] = im
+        return out
+
+    batch = np.stack([pad(img1), pad(img2)])
+    got = emb.infer_batch(batch, [b1, b2])
+    assert got.shape[0] == 2
+    e1 = emb.infer(pad(img1), b1)
+    e2 = emb.infer(pad(img2), b2)
+    # vmapped conv lowering reassociates vs the single-image program:
+    # a few 1e-5 of float noise on a unit vector
+    np.testing.assert_allclose(got[0], e1, atol=2e-4)
+    np.testing.assert_allclose(got[1], e2, atol=2e-4)
+    assert np.all(np.abs(np.linalg.norm(got, axis=1) - 1.0) < 1e-5)
+
+
+def test_embed_cascade_matches_standalone(arcface):
+    """The fused detect->crop->embed program (pipeline.EmbedCascade)
+    reproduces the standalone FaceDetection + FaceEmbeddings chain."""
+    from tpu_face.pipeline import EmbedCascade
+
+    _, npz_dir = arcface
+    cascade = EmbedCascade(FaceDetectionModel.SHORT,
+                           embed_model_path=npz_dir)
+    img = load_image(RUSS_1)
+    res = cascade.infer_batch(img[None])
+    assert bool(np.asarray(res.face_valid)[0])
+
+    # detection agrees with the standalone detector
+    bbox = _detect_bbox(RUSS_1)
+    cb = np.asarray(res.crop_bbox)[0]          # (x0, y0, x1, y1) abs
+    assert abs(cb[0] - int(bbox.xmin)) <= 1
+    assert abs(cb[1] - int(bbox.ymin)) <= 1
+    assert np.all(cb == np.trunc(cb))          # int-truncated rect
+
+    # embedding of the SAME crop rect through the standalone model
+    emb = FaceEmbeddings(model_path=npz_dir)
+    want = emb.infer(RUSS_1, BBox(float(cb[0]), float(cb[1]),
+                                  float(cb[2]), float(cb[3])))
+    got = np.asarray(res.embedding)[0]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-5
+
+
+def test_embed_cascade_batch_and_multiface(arcface):
+    """Batched frames and max_faces > 1 shapes; invalid slots are
+    NaN-free (the eps-guarded L2 norm)."""
+    from tpu_face.pipeline import EmbedCascade
+
+    _, npz_dir = arcface
+    cascade = EmbedCascade(FaceDetectionModel.SHORT,
+                           embed_model_path=npz_dir, max_faces=2)
+    img1 = load_image(RUSS_1)
+    img2 = load_image(RUSS_2)
+    h = max(img1.shape[0], img2.shape[0])
+    w = max(img1.shape[1], img2.shape[1])
+
+    def pad(im):
+        out = np.zeros((h, w, 3), np.uint8)
+        out[:im.shape[0], :im.shape[1]] = im
+        return out
+
+    res = cascade.infer_batch(np.stack([pad(img1), pad(img2)]))
+    embs = np.asarray(res.embedding)           # [2, 2, D]
+    valid = np.asarray(res.face_valid)         # [2, 2]
+    assert embs.shape[:2] == (2, 2)
+    assert valid[0, 0] and valid[1, 0]
+    assert np.all(np.isfinite(embs))           # incl. invalid slots
+    # same-photo crops of the two subjects embed deterministically
+    n0 = np.linalg.norm(embs[0, 0])
+    n1 = np.linalg.norm(embs[1, 0])
+    assert abs(n0 - 1.0) < 1e-5 and abs(n1 - 1.0) < 1e-5
+
+
 def test_arcface_similarity_two_subjects(arcface):
     """Same-subject pair flows end-to-end like the reference test
     (face_embeddings.rs:119-146): embed two photos, cosine-compare."""

@@ -224,6 +224,10 @@ def convert(model_path: str, out_path: str) -> dict:
         elif name == "DEPTH_TO_SPACE":
             o = _options(op, schema_fb.DepthToSpaceOptions)
             opts = {"block_size": o.BlockSize()}
+        elif name == "BATCH_MATMUL":
+            o = _options(op, schema_fb.BatchMatMulOptions)
+            opts = {"adj_x": bool(o.AdjX()) if o is not None else False,
+                    "adj_y": bool(o.AdjY()) if o is not None else False}
         ops.append({"op": name, "inputs": inputs, "outputs": outputs,
                     "options": opts})
 

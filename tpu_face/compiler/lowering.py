@@ -11,10 +11,11 @@ same traced graph serves any leading batch size.
 Supported op set (complete for the 7 bundled face models, SURVEY.md §2.3,
 plus the ArcFace-class embeddings op set — reference face_embeddings.rs
 runs a downloadable MobileFaceNet-family model):
-CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED, ADD, SUB, MUL, DIV, MINIMUM,
-MAXIMUM, RELU, PRELU, LOGISTIC, SOFTMAX, MAX_POOL_2D, AVERAGE_POOL_2D,
-MEAN, PAD, RESHAPE, CONCATENATION, RESIZE_BILINEAR, DEPTH_TO_SPACE,
-L2_NORMALIZATION, SQRT, RSQRT, NEG, EXP, TANH, HARD_SWISH.
+CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED, BATCH_MATMUL, ADD, SUB, MUL,
+DIV, MINIMUM, MAXIMUM, RELU, PRELU, LOGISTIC, SOFTMAX, MAX_POOL_2D,
+AVERAGE_POOL_2D, MEAN, PAD, RESHAPE, TRANSPOSE, CONCATENATION,
+RESIZE_BILINEAR, DEPTH_TO_SPACE, L2_NORMALIZATION, SQRT, RSQRT, NEG, EXP,
+TANH, HARD_SWISH.
 DEQUANTIZE/DENSIFY never reach the runtime (folded at conversion).
 """
 
@@ -282,6 +283,20 @@ def build_jax_fn(graph, param_dtype=jnp.float32, compute_dtype=jnp.float32):
                 if len(ins) > 2 and ins[2] >= 0:
                     y = y + cast_param(get(ins[2]))
                 env[outs[0]] = _act(y, o["activation"])
+            elif op == "BATCH_MATMUL":
+                # TFLite BatchMatMul (attention-style embedders use it
+                # between two activations); adj_x/adj_y transpose the
+                # contraction dims, batch dims broadcast like jnp.matmul
+                a, b = get(ins[0]), get(ins[1])
+                if ins[1] in consts:
+                    b = cast_param(b)
+                if o.get("adj_x"):
+                    a = jnp.swapaxes(a, -1, -2)
+                if o.get("adj_y"):
+                    b = jnp.swapaxes(b, -1, -2)
+                env[outs[0]] = jnp.matmul(
+                    a, b, precision=precision,
+                    preferred_element_type=compute_dtype)
             elif op == "ADD":
                 env[outs[0]] = _act(get(ins[0]) + get(ins[1]),
                                     o["activation"])
@@ -338,6 +353,11 @@ def build_jax_fn(graph, param_dtype=jnp.float32, compute_dtype=jnp.float32):
                 if tgt and tgt[0] == 1:
                     tgt[0] = batch
                 env[outs[0]] = get(ins[0]).reshape(tgt)
+            elif op == "TRANSPOSE":
+                perm = np.asarray(graph.consts[ins[1]]).reshape(-1).tolist()
+                assert perm[0] == 0, \
+                    f"TRANSPOSE must preserve the batch axis, got {perm}"
+                env[outs[0]] = jnp.transpose(get(ins[0]), perm)
             elif op == "CONCATENATION":
                 env[outs[0]] = _act(
                     jnp.concatenate([get(i) for i in ins], axis=o["axis"]),

@@ -10,6 +10,24 @@ directory containing ``face_embeddings.npz``.
 TPU-native: the crop + resize is the same fused warp gather used
 everywhere else (an axis-aligned crop is a rotation-free ROI), so crop,
 normalize, CNN and the L2 norm compile into one XLA program.
+
+Real-weights validation status: the reference's integration test
+(face_embeddings.rs:119-146) embeds russ_cox_1/russ_cox_2 with the
+downloadable ArcFace model and checks same-person cosine similarity.
+That download
+(https://www.digidow.eu/f/datasets/arcface-tensorflowlite/model.tflite,
+reference README.md:9-10) is unreachable from this environment (zero
+egress; ``curl`` fails with DNS resolution error, attempted 2026-08-17),
+so semantic discrimination cannot be asserted here.  What IS asserted:
+the full graph path on a generated MobileFaceNet of the same
+architecture class — flatbuffer -> converter -> lowering -> fused
+crop+CNN+L2 — matches the TFLite interpreter to <=1e-4 relative
+(tests/test_embeddings_arcface.py), and the op set covers
+attention-style embedders too (BATCH_MATMUL/TRANSPOSE,
+tests/test_batch_matmul.py).  With the real flatbuffer in hand, a user
+runs ``tools/convert_tflite.py model.tflite
+<dir>/face_embeddings.npz`` and everything downstream is already
+exercised.
 """
 
 import enum
@@ -88,13 +106,38 @@ class FaceEmbeddings:
         face_embeddings.rs:101-109)."""
         img = load_image(image)
         h, w = img.shape[:2]
-        x = int(bbox.xmin)
-        y = int(bbox.ymin)
-        cw = int(bbox.xmax - bbox.xmin)
-        ch = int(bbox.ymax - bbox.ymin)
-        if cw <= 0 or ch <= 0:
-            raise ValueError(f"empty crop bbox: {bbox}")
-        roi_abs = np.array([x + cw / 2.0, y + ch / 2.0, cw, ch, 0.0],
-                           np.float32)
+        roi_abs = self._roi_from_bbox(bbox)
         out = self._get_jitted(h, w)(jnp.asarray(img), jnp.asarray(roi_abs))
+        return np.asarray(out)
+
+    @staticmethod
+    def _roi_from_bbox(bb) -> np.ndarray:
+        """BBox (or (xmin, ymin, xmax, ymax) tuple) -> axis-aligned
+        (5,) abs ROI with the reference's int-truncated crop semantics
+        (face_embeddings.rs:101-109)."""
+        vals = ((bb.xmin, bb.ymin, bb.xmax, bb.ymax)
+                if isinstance(bb, BBox) else tuple(float(v) for v in bb))
+        x, y = int(vals[0]), int(vals[1])
+        cw, ch = int(vals[2] - vals[0]), int(vals[3] - vals[1])
+        if cw <= 0 or ch <= 0:
+            raise ValueError(f"empty crop bbox: {vals}")
+        return np.array([x + cw / 2.0, y + ch / 2.0, cw, ch, 0.0],
+                        np.float32)
+
+    def infer_batch(self, images, bboxes) -> np.ndarray:
+        """Batched embeddings: [B, H, W, 3] same-size RGB frames (host
+        or device array) + B bboxes (``BBox`` or (xmin, ymin, xmax,
+        ymax), absolute pixels) -> [B, D] L2-normalized vectors, the
+        whole batch as ONE vmapped XLA program (the reference embeds
+        one crop per interpreter call, face_embeddings.rs:46-86)."""
+        if not hasattr(images, "shape"):
+            images = np.asarray(images)
+        b, h, w = images.shape[:3]
+        if len(bboxes) != b:
+            raise ValueError(f"{b} images but {len(bboxes)} bboxes")
+        rois = np.stack([self._roi_from_bbox(bb) for bb in bboxes])
+        key = ("batch", h, w)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(jax.vmap(self._pipeline))
+        out = self._jitted[key](jnp.asarray(images), jnp.asarray(rois))
         return np.asarray(out)

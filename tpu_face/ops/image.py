@@ -406,7 +406,7 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
     # the kernel clamps xload to the padded plane width, so the wide
     # config's x-budget must shrink with narrow frames (same clamp
     # rule as FaceCascade._warp_cfg) instead of over-promising
-    wp = max(-(-image_size[0] // 128) * 128, 256)
+    wp = pallas_warp.padded_width(image_size[0])
     for cw, xload in ((32, 256), (16, min(512, wp))):
         if wo % cw or ho % 8:
             continue

@@ -47,7 +47,7 @@ Two plane residency modes share the same per-block math:
 * resident  — the three padded f32 planes live in VMEM for the whole
   call (zero per-block fetch cost).  Used when they fit the ~12 MB
   budget (<= ~720p frames).
-* strips    — the planes stay in HBM (``pltpu.ANY``) and every block
+* strips    — the planes stay in HBM (``pl.ANY``) and every block
   double-buffer-DMAs only its [band, 256] source strip into VMEM
   scratch, so frame size no longer bounds the kernel (1080p, 4K, ...).
   Per-block traffic is band*256*4 B/channel; the DMA of block k+1
@@ -67,14 +67,22 @@ XWIN = 128     # working x-window (lanes)
 XLOAD = 2 * XWIN  # aligned load width before the roll
 
 
+def padded_width(w: int) -> int:
+    """Padded plane width (lanes) ``make_planes`` allocates for an
+    image of width ``w`` — the ONE definition of the kernel's plane
+    width padding rule; every dispatch site that budgets x-windows
+    against the plane (pipeline._warp_cfg, image.choose_warp_method)
+    must use it instead of re-deriving the formula."""
+    return max(-(-w // XWIN) * XWIN, XLOAD)
+
+
 def planes_fit_vmem(h: int, w: int, budget_bytes: int = 12 * 2**20,
                     itemsize: int = 4) -> bool:
     """Whether three padded planes fit the kernel VMEM residency
     (single source of truth for the pallas/gather gate); bf16 planes
     (itemsize 2) fit twice the area."""
     hp = -(-h // 8) * 8
-    wp = max(-(-w // XWIN) * XWIN, XLOAD)
-    return 3 * itemsize * hp * wp <= budget_bytes
+    return 3 * itemsize * hp * padded_width(w) <= budget_bytes
 
 
 def pick_cw(scale_x: float, sin_max: float = 0.5) -> int:
@@ -262,7 +270,7 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     VMEM scratch, so arbitrarily large frames never have to fit VMEM.
 
     planes_ref: [GP, 3, Hp, Wp] f32 stacked planes in HBM
-    (``pltpu.ANY`` — Pallas TPU only allows ANY refs with a trivial
+    (``pl.ANY`` — Pallas TPU only allows ANY refs with a trivial
     index map, so batching is a GRID dimension, not a blocked ref; the
     grid's group axis g maps to plane set g // plane_ratio);
     xs_ref/ys_ref: [1, 1, CB, 1, PB]; out_ref: [1, 1, 3, CB, PB];
@@ -354,7 +362,7 @@ def _get_strips_fn(band: int, dot_bf16: bool, interpret: bool,
             partial(_warp_kernel_strips, band=band, dot_bf16=dot_bf16,
                     plane_ratio=gc // gp, wide=wide, xload=xload),
             grid=(gc, t),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), coord_spec,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), coord_spec,
                       coord_spec],
             out_specs=pl.BlockSpec((1, 1, 3, cb, pb),
                                    lambda g, i: (g, i, 0, 0, 0),
@@ -428,7 +436,7 @@ def make_planes(image_hwc, band: int = 48, dtype=jnp.float32,
     y_align = 16 if dtype == jnp.bfloat16 else 8
     hp = max(-(-h // y_align) * y_align,
              -(-band // y_align) * y_align)
-    wp = max(-(-w // XWIN) * XWIN, XLOAD)
+    wp = padded_width(w)
     # Residency is gated at f32 size for EVERY dtype: a 12.5 MB bf16
     # resident plane set (1080p) fails Mosaic compilation even though
     # it passes the nominal 12 MB budget — bf16's win is the halved

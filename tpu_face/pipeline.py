@@ -92,35 +92,20 @@ def _bbox_to_roi_abs(xmin, ymin, xmax, ymax, kp0, kp1, scale, w, h):
     return jnp.stack([cx, cy, rw, rh, rot])
 
 
-class FaceCascade:
-    """The fused cascade.  ``infer_batch(images)`` takes a uint8/float
-    batch [B, H, W, 3] (all the same size) and returns a
-    ``CascadeResult`` of device arrays; ``__call__`` is the raw jitted
-    function for benchmarking/sharding."""
+class _DetectorBase:
+    """Shared detection front-end of the fused pipelines: model
+    loading, per-frame plane preparation, and the whole-image
+    detect+NMS stage.  ``FaceCascade`` adds the mesh/iris stages,
+    ``EmbedCascade`` the crop+embed stage."""
 
-    def __init__(self,
-                 detection_model: FaceDetectionModel =
-                 FaceDetectionModel.BACK_CAMERA,
-                 model_path: Optional[str] = None,
-                 compute_dtype=jnp.float32,
-                 warp_method: str = "auto",
-                 max_faces: int = 1,
-                 nms_top_m: int = 128,
-                 input_layout: str = "hwc"):
+    def _init_detection(self, detection_model, model_path, compute_dtype,
+                        warp_method, max_faces, nms_top_m, input_layout):
         base = Path(model_path) if model_path else _DATA_DIR
         det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
-        mesh_graph = Graph(base / "face_landmark.npz")
-        iris_graph = Graph(base / "iris_landmark.npz")
         self._det_net = build_jax_fn(det_graph, compute_dtype=compute_dtype)
-        self._mesh_net = build_jax_fn(mesh_graph,
-                                      compute_dtype=compute_dtype)
-        self._iris_net = build_jax_fn(iris_graph,
-                                      compute_dtype=compute_dtype)
         self.anchors = jnp.asarray(
             anchors_lib.ssd_generate_anchors(_SSD_OPTS[detection_model]))
         _, self.det_h, self.det_w, _ = det_graph.input_shape
-        _, self.mesh_h, self.mesh_w, _ = mesh_graph.input_shape
-        _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
         self._warp = image_ops.resolve_warp_method(warp_method)
         self._compute_dtype = compute_dtype
         # "hwc" = [B, H, W, 3] frames (reference semantics); "planar"
@@ -134,46 +119,13 @@ class FaceCascade:
         # (see models/face_detection.py nms_top_m)
         self.nms_top_m = nms_top_m
         self._jitted = {}
+        return det_graph
 
-    # ---- single-image program (vmapped over batch) ---------------------
-
-    def _prepare_frame(self, image, image_size):
-        """(img_f32_hwc, planes) for one frame — the ONE place the
-        plane build and planar->HWC handling live (the full cascade
-        and the tracked path must stay in sync).
-
-        The exact-gather paths (and the standalone-model semantics)
-        work on HWC; under "planar" input the transpose only actually
-        lowers on those paths (XLA DCEs it when every consumer reads
-        the channel planes instead).  Padded channel planes are built
-        ONCE per frame and shared by every Pallas warp of the frame
-        (detection + mesh + both irises); dtype per frame size
-        (_plane_cfg): f32 while VMEM-resident, bf16 beyond
-        (pixel-exact for uint8 sources, halves DMA traffic).  With
-        "planar" input the build is a pure pad+convert — the host
-        decoder already emits channel planes
-        (native_loader.decode_jpeg_batch(planar=True))."""
-        img = (image if self._layout == "hwc"
-               else image.transpose(1, 2, 0)).astype(jnp.float32)
-        planes = None
-        if self._warp == "pallas":
-            from .ops.pallas_warp import make_planes
-            # plane height must cover the LARGEST band any warp uses
-            planes = make_planes(image,
-                                 band=max(self._bands(image_size)),
-                                 dtype=self._plane_cfg(image_size)[0],
-                                 layout=self._layout)
-        return img, planes
-
-    def _single(self, image, image_size):
+    def _detect_stage(self, img, planes, image_size, warp):
+        """Stage 1: whole-image detection + weighted NMS (reference
+        face_detection.rs:205-267).  Returns (dets [N, 8, 2]
+        normalized, scores [N], valid [N]) with N = max_faces."""
         w, h = image_size
-        # frame size does not gate the Pallas path: beyond ~720p the
-        # kernel switches to HBM-resident planes with per-block strip
-        # DMA (ops/pallas_warp.make_planes dispatches residency)
-        warp = self._warp
-        img, planes = self._prepare_frame(image, image_size)
-
-        # Stage 1: detection (reference face_detection.rs:205-267).
         # Whole-image ROI has rotation 0, so the warp is separable: two
         # hat matmuls, the cheapest exact path.  On the Pallas path it
         # reads the shared channel planes (separable_sample_planar —
@@ -214,14 +166,35 @@ class FaceCascade:
                 boxes, scores, valid, max_outputs=self.max_faces,
                 top_m=self.nms_top_m)
             dets = post.letterbox_removal(out_d, padding)  # [N, 8, 2]
+        return dets, out_s, out_v
 
-        if self.max_faces == 1:
-            return self._face_stages(img, planes, dets[0], out_s[0],
-                                     out_v[0], image_size, warp)
-        return jax.vmap(
-            lambda d, s, v: self._face_stages(img, planes, d, s, v,
-                                              image_size, warp))(
-                                                  dets, out_s, out_v)
+    def _prepare_frame(self, image, image_size):
+        """(img_f32_hwc, planes) for one frame — the ONE place the
+        plane build and planar->HWC handling live (the full cascade
+        and the tracked path must stay in sync).
+
+        The exact-gather paths (and the standalone-model semantics)
+        work on HWC; under "planar" input the transpose only actually
+        lowers on those paths (XLA DCEs it when every consumer reads
+        the channel planes instead).  Padded channel planes are built
+        ONCE per frame and shared by every Pallas warp of the frame
+        (detection + mesh + both irises); dtype per frame size
+        (_plane_cfg): f32 while VMEM-resident, bf16 beyond
+        (pixel-exact for uint8 sources, halves DMA traffic).  With
+        "planar" input the build is a pure pad+convert — the host
+        decoder already emits channel planes
+        (native_loader.decode_jpeg_batch(planar=True))."""
+        img = (image if self._layout == "hwc"
+               else image.transpose(1, 2, 0)).astype(jnp.float32)
+        planes = None
+        if self._warp == "pallas":
+            from .ops.pallas_warp import make_planes
+            # plane height must cover the LARGEST band any warp uses
+            planes = make_planes(image,
+                                 band=max(self._bands(image_size)),
+                                 dtype=self._plane_cfg(image_size)[0],
+                                 layout=self._layout)
+        return img, planes
 
     @staticmethod
     def _plane_cfg(image_size):
@@ -255,8 +228,8 @@ class FaceCascade:
         kernel clamps xload to it), so the budget honestly shrinks
         with it instead of over-promising the envelope."""
         if max(image_size) > 2560:
-            wp = max(-(-image_size[0] // 128) * 128, 256)
-            xload = min(512, wp)
+            from .ops.pallas_warp import padded_width
+            xload = min(512, padded_width(image_size[0]))
             return 16, xload, xload - 129
         return 32, 256, 126
 
@@ -274,6 +247,53 @@ class FaceCascade:
             return min(cap, max(lo, -(-v // 8) * 8))
 
         return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
+
+
+class FaceCascade(_DetectorBase):
+    """The fused cascade.  ``infer_batch(images)`` takes a uint8/float
+    batch [B, H, W, 3] (all the same size) and returns a
+    ``CascadeResult`` of device arrays; ``__call__`` is the raw jitted
+    function for benchmarking/sharding."""
+
+    def __init__(self,
+                 detection_model: FaceDetectionModel =
+                 FaceDetectionModel.BACK_CAMERA,
+                 model_path: Optional[str] = None,
+                 compute_dtype=jnp.float32,
+                 warp_method: str = "auto",
+                 max_faces: int = 1,
+                 nms_top_m: int = 128,
+                 input_layout: str = "hwc"):
+        self._init_detection(detection_model, model_path, compute_dtype,
+                             warp_method, max_faces, nms_top_m,
+                             input_layout)
+        base = Path(model_path) if model_path else _DATA_DIR
+        mesh_graph = Graph(base / "face_landmark.npz")
+        iris_graph = Graph(base / "iris_landmark.npz")
+        self._mesh_net = build_jax_fn(mesh_graph,
+                                      compute_dtype=compute_dtype)
+        self._iris_net = build_jax_fn(iris_graph,
+                                      compute_dtype=compute_dtype)
+        _, self.mesh_h, self.mesh_w, _ = mesh_graph.input_shape
+        _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
+
+    # ---- single-image program (vmapped over batch) ---------------------
+
+    def _single(self, image, image_size):
+        # frame size does not gate the Pallas path: beyond ~720p the
+        # kernel switches to HBM-resident planes with per-block strip
+        # DMA (ops/pallas_warp.make_planes dispatches residency)
+        warp = self._warp
+        img, planes = self._prepare_frame(image, image_size)
+        dets, out_s, out_v = self._detect_stage(img, planes, image_size,
+                                                warp)
+        if self.max_faces == 1:
+            return self._face_stages(img, planes, dets[0], out_s[0],
+                                     out_v[0], image_size, warp)
+        return jax.vmap(
+            lambda d, s, v: self._face_stages(img, planes, d, s, v,
+                                              image_size, warp))(
+                                                  dets, out_s, out_v)
 
     def _face_stages(self, img, planes, det, score, face_valid,
                      image_size, warp, face_roi_abs=None):
@@ -431,6 +451,140 @@ class FaceCascade:
         from .utils import profiling
 
         with profiling.stage("cascade.infer_batch"):
+            images = jnp.asarray(images)
+            if images.ndim == 3:
+                images = images[None]
+            return self(images)
+
+
+class EmbedResult(NamedTuple):
+    """Per-image results of the fused identification pipeline (leading
+    batch axis; with ``max_faces > 1`` a face axis follows it)."""
+
+    detection: jnp.ndarray   # [B, 8, 2] corners + 6 keypoints (norm)
+    score: jnp.ndarray       # [B] detection score
+    face_valid: jnp.ndarray  # [B] bool
+    crop_bbox: jnp.ndarray   # [B, 4] ABSOLUTE (x0, y0, x1, y1) crop used
+    embedding: jnp.ndarray   # [B, D] L2-normalized feature vector
+
+
+class EmbedCascade(_DetectorBase):
+    """Fused detect -> crop -> embed identification pipeline.
+
+    The reference's identification flow pays three host round-trips
+    (detect, crop via Mat::roi, embed — face_embeddings.rs:46-86 driven
+    by its test :119-146); here detection, the axis-aligned 112x112
+    crop (same int-truncated rect semantics), the embedding CNN and
+    the L2 norm compile into ONE batched XLA program.  Out-of-frame
+    bboxes are clamped to the image (the reference's Mat::roi would
+    error); crops of invalid faces are well-defined garbage masked by
+    ``face_valid``.
+
+    Like the reference, the embeddings model is not bundled: convert
+    the downloaded flatbuffer and pass ``model_path`` (see
+    models/face_embeddings.py).
+    """
+
+    def __init__(self,
+                 detection_model: FaceDetectionModel =
+                 FaceDetectionModel.BACK_CAMERA,
+                 model_path: Optional[str] = None,
+                 embed_model_path: Optional[str] = None,
+                 compute_dtype=jnp.float32,
+                 warp_method: str = "auto",
+                 max_faces: int = 1,
+                 nms_top_m: int = 128,
+                 input_layout: str = "hwc"):
+        self._init_detection(detection_model, model_path, compute_dtype,
+                             warp_method, max_faces, nms_top_m,
+                             input_layout)
+        ebase = Path(embed_model_path or model_path or _DATA_DIR)
+        npz = ebase / "face_embeddings.npz"
+        if not npz.exists():
+            raise FileNotFoundError(
+                f"converted model not found: {npz} — the embeddings "
+                f"model is not bundled (see reference README); download "
+                f"face_embeddings.tflite and run tools/convert_tflite.py")
+        egraph = Graph(npz)
+        self._embed_net = build_jax_fn(egraph,
+                                       compute_dtype=compute_dtype)
+        _, self.embed_h, self.embed_w, _ = egraph.input_shape
+
+    def _embed_face(self, img, planes, det, score, face_valid,
+                    image_size, warp):
+        """Crop + embed for one detected face (vmapped when
+        ``max_faces > 1``)."""
+        w, h = image_size
+        # int-truncated crop rect (face_embeddings.rs:101-109: int() of
+        # bbox.xmin/ymin and of the float width/height), intersected
+        # with the frame so edge faces stay in-bounds
+        x = jnp.trunc(det[0, 0] * w)
+        y = jnp.trunc(det[0, 1] * h)
+        cw = jnp.trunc((det[1, 0] - det[0, 0]) * w)
+        ch = jnp.trunc((det[1, 1] - det[0, 1]) * h)
+        x0 = jnp.clip(x, 0.0, w - 1.0)
+        y0 = jnp.clip(y, 0.0, h - 1.0)
+        x1 = jnp.clip(x + cw, x0 + 1.0, float(w))
+        y1 = jnp.clip(y + ch, y0 + 1.0, float(h))
+        roi_abs = jnp.stack([(x0 + x1) / 2.0, (y0 + y1) / 2.0,
+                             x1 - x0, y1 - y0, jnp.float32(0.0)])
+
+        with jax.named_scope("tpu_face.embed_crop"):
+            if warp == "pallas":
+                # axis-aligned crop -> the separable path over the
+                # shared frame planes is exact
+                ex, ey, _ = image_ops._source_coords(
+                    roi_abs, (self.embed_w, self.embed_h), False, False)
+                tensor = image_ops._normalize_pixels(
+                    image_ops.separable_sample_planar(planes, ex, ey),
+                    (0.0, 1.0), True)
+            else:
+                tensor, _ = image_ops.warp_image_to_tensor(
+                    img, roi_abs, (self.embed_w, self.embed_h),
+                    keep_aspect_ratio=False, output_range=(0.0, 1.0),
+                    method=("separable" if warp == "mxu" else warp))
+        with jax.named_scope("tpu_face.embed"):
+            (raw,) = self._embed_net(tensor[None])
+            flat = raw.reshape(-1)
+            # eps keeps invalid-slot garbage NaN-free (utils.rs:30-33
+            # divides unguarded; valid embeddings have norm >> eps)
+            emb = flat * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(jnp.square(flat)), 1e-12))
+        return EmbedResult(
+            detection=det, score=score, face_valid=face_valid,
+            crop_bbox=jnp.stack([x0, y0, x1, y1]), embedding=emb)
+
+    def _single(self, image, image_size):
+        warp = self._warp
+        img, planes = self._prepare_frame(image, image_size)
+        dets, out_s, out_v = self._detect_stage(img, planes, image_size,
+                                                warp)
+        if self.max_faces == 1:
+            return self._embed_face(img, planes, dets[0], out_s[0],
+                                    out_v[0], image_size, warp)
+        return jax.vmap(
+            lambda d, s, v: self._embed_face(img, planes, d, s, v,
+                                             image_size, warp))(
+                                                 dets, out_s, out_v)
+
+    def _get_jitted(self, h, w):
+        key = (h, w)
+        if key not in self._jitted:
+            fn = partial(self._single, image_size=(w, h))
+            self._jitted[key] = jax.jit(jax.vmap(fn))
+        return self._jitted[key]
+
+    def __call__(self, images: jnp.ndarray) -> EmbedResult:
+        if self._layout == "planar":
+            _, _, h, w = images.shape
+        else:
+            _, h, w, _ = images.shape
+        return self._get_jitted(h, w)(images)
+
+    def infer_batch(self, images) -> EmbedResult:
+        from .utils import profiling
+
+        with profiling.stage("embed_cascade.infer_batch"):
             images = jnp.asarray(images)
             if images.ndim == 3:
                 images = images[None]
