@@ -56,26 +56,31 @@ def bilinear_sample(image: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray
     return top * (1 - dy) + bot * dy
 
 
-def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
+def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int], xp=jnp):
     """Letterbox padding fractions + effective pixel pads.
 
     Reference semantics transform.rs:236-257: returns
     (pad_x, pad_y, ph, pv) where pad_x/pad_y are the normalized padding
     fractions reported to the caller and ph/pv the integer pixel pads
     actually applied before the final resize.
+
+    ``xp`` selects the array module: jnp for the traced sampling path,
+    numpy for host-side concrete dispatch (choose_warp_method /
+    pallas_warp.extents_host) — ONE derivation of the quirky letterbox
+    algebra for both worlds.
     """
     # Integer-division quirk kept from transform.rs:240 (square outputs
     # only are exercised; aspect == 1).
     out_aspect = float(out_size[1] // out_size[0])
     roi_aspect = roi_h / roi_w
-    w_i = jnp.trunc(roi_w)
-    h_i = jnp.trunc(roi_h)
+    w_i = xp.trunc(roi_w)
+    h_i = xp.trunc(roi_h)
 
-    cond = jnp.asarray(out_aspect > roi_aspect)
-    pad_y = jnp.where(cond, (1.0 - roi_aspect / out_aspect) / 2.0, 0.0)
-    pad_x = jnp.where(cond, 0.0, (1.0 - out_aspect / roi_aspect) / 2.0)
-    new_h = jnp.where(cond, jnp.trunc(roi_w * out_aspect), h_i)
-    new_w = jnp.where(cond, w_i, jnp.trunc(roi_h / out_aspect))
+    cond = xp.asarray(out_aspect > roi_aspect)
+    pad_y = xp.where(cond, (1.0 - roi_aspect / out_aspect) / 2.0, 0.0)
+    pad_x = xp.where(cond, 0.0, (1.0 - out_aspect / roi_aspect) / 2.0)
+    new_h = xp.where(cond, xp.trunc(roi_w * out_aspect), h_i)
+    new_w = xp.where(cond, w_i, xp.trunc(roi_h / out_aspect))
 
     changed = (new_w != w_i) | (new_h != h_i)
     # Pixel pads = trunc(pad_fraction * new_dim).  The reference computes
@@ -86,10 +91,40 @@ def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int]):
     # exact (products < 2^24 are representable).
     pv_exact = (new_h - (new_h * roi_h) / (roi_w * out_aspect)) / 2.0
     ph_exact = (new_w - (new_w * out_aspect * roi_w) / roi_h) / 2.0
-    ph = jnp.where(changed & jnp.logical_not(cond),
-                   jnp.trunc(ph_exact), 0.0)
-    pv = jnp.where(changed & cond, jnp.trunc(pv_exact), 0.0)
+    ph = xp.where(changed & xp.logical_not(cond),
+                  xp.trunc(ph_exact), 0.0)
+    pv = xp.where(changed & cond, xp.trunc(pv_exact), 0.0)
     return pad_x, pad_y, ph, pv
+
+
+def warp_derivatives(roi_abs, out_size: Tuple[int, int],
+                     keep_aspect_ratio: bool, xp=jnp):
+    """|d src / d out| magnitudes (dxdu, dxdv, dydu, dydv) of the
+    ``image_to_tensor`` warp map.
+
+    Derived from the SAME letterbox algebra the sampling grid uses
+    (``letterbox_padding``; the per-output-pixel normalized steps match
+    ``_source_coords``' (w_i + 2 ph)/wo grid spacing divided by w_i),
+    so the host-side Pallas envelope dispatch
+    (``pallas_warp.extents_host``, xp=numpy) can never drift from the
+    traced coordinates — the duplication a round-2 review flagged.
+    """
+    cx, cy, rw, rh, rot = (roi_abs[0], roi_abs[1], roi_abs[2],
+                           roi_abs[3], roi_abs[4])
+    wo, ho = out_size
+    if keep_aspect_ratio:
+        _, _, ph, pv = letterbox_padding(rw, rh, out_size, xp=xp)
+        w_i = xp.trunc(rw)
+        h_i = xp.trunc(rh)
+        qx_u = (w_i + 2.0 * ph) / (wo * xp.maximum(w_i, 1.0))
+        qy_v = (h_i + 2.0 * pv) / (ho * xp.maximum(h_i, 1.0))
+    else:
+        qx_u = 1.0 / wo
+        qy_v = 1.0 / ho
+    s, c = xp.sin(rot), xp.cos(rot)
+    # src = c0 + qx*(rw*c, rw*s) + qy*(-rh*s, rh*c)  (see _source_coords)
+    return (xp.abs(qx_u * rw * c), xp.abs(qy_v * rh * s),
+            xp.abs(qx_u * rw * s), xp.abs(qy_v * rh * c))
 
 
 def _source_coords(roi_abs: jnp.ndarray, out_size: Tuple[int, int],
@@ -381,7 +416,8 @@ def resolve_warp_method(method: str = "auto") -> str:
 
 
 def choose_warp_method(method: str, roi_abs_rows, image_size,
-                       out_size, keep_aspect_ratio: bool):
+                       out_size, keep_aspect_ratio: bool,
+                       plane_dtype=None):
     """Per-call warp dispatch for the standalone models' host APIs.
 
     Their ROI values are CONCRETE before dispatch, so the block
@@ -400,6 +436,21 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
     import numpy as np
 
     from . import pallas_warp
+
+    # The standalone dispatch path always samples over f32 planes
+    # (warp_image_to_tensor's pallas branch -> warp_sample ->
+    # make_planes with its default dtype), whose strip geometry is
+    # 8-row aligned with up to 7 rows of start slack.  bf16 planes
+    # (16-row tiles, 15 rows slack) only occur on the fused cascade's
+    # traced path, which budgets its own bands (pipeline._warp_cfg) —
+    # reject them here so the band arithmetic below can never
+    # under-cover if a future caller wires bf16 planes through.
+    if plane_dtype is None:
+        import jax.numpy as jnp
+        plane_dtype = jnp.float32
+    y_align = pallas_warp.plane_y_align(plane_dtype)
+    assert y_align == 8, \
+        "choose_warp_method budgets f32-plane strip geometry only"
 
     rows = np.atleast_2d(np.asarray(roi_abs_rows, np.float32))
     wo, ho = out_size
@@ -432,7 +483,7 @@ def choose_warp_method(method: str, roi_abs_rows, image_size,
                 if x_ext > x_budget:
                     ok = False
                     break
-                need_band = max(need_band, y_ext + 7)  # 8-row align
+                need_band = max(need_band, y_ext + (y_align - 1))
             if not ok:
                 continue
             band = -(-max(32, int(np.ceil(need_band))) // 32) * 32

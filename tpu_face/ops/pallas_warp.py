@@ -67,6 +67,13 @@ XWIN = 128     # working x-window (lanes)
 XLOAD = 2 * XWIN  # aligned load width before the roll
 
 
+def plane_y_align(dtype) -> int:
+    """Strip-start sublane alignment for a plane dtype — bf16 planes
+    pack 16-row sublane tiles (and add up to 15 rows of start slack to
+    a band), f32 planes 8.  The ONE definition of the 8/16 rule."""
+    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+
+
 def padded_width(w: int) -> int:
     """Padded plane width (lanes) ``make_planes`` allocates for an
     image of width ``w`` — the ONE definition of the kernel's plane
@@ -102,40 +109,17 @@ def extents_host(roi_abs, out_size, keep_aspect_ratio: bool, cw: int,
                  rt: int = ROW_TILE):
     """Host-side per-block source extents (x_ext, y_ext_base) of one
     concrete ROI — y_ext_base excludes the strip-start alignment slack
-    (add ``y_align - 1``).  Duplicates image._source_coords' derivative
-    algebra — kept in sync with ops/image.py letterbox_padding."""
-    cx, cy, rw, rh, rot = [float(v) for v in np.asarray(roi_abs)]
-    wo, ho = out_size
-    if keep_aspect_ratio:
-        # letterbox factors, square-output path (transform.rs:236-257)
-        out_aspect = float(out_size[1] // out_size[0])
-        roi_aspect = rh / rw
-        w_i, h_i = np.trunc(rw), np.trunc(rh)
-        if out_aspect > roi_aspect:
-            new_h = np.trunc(rw * out_aspect)
-            pv = (np.trunc((new_h - (new_h * rh) / (rw * out_aspect))
-                           / 2.0)
-                  if new_h != h_i else 0.0)
-            ph = 0.0
-        else:
-            new_w = np.trunc(rh / out_aspect)
-            ph = (np.trunc((new_w - (new_w * out_aspect * rw) / rh)
-                           / 2.0)
-                  if new_w != w_i else 0.0)
-            pv = 0.0
-        qx_u = (w_i + 2.0 * ph) / (wo * max(w_i, 1.0))
-        qy_v = (h_i + 2.0 * pv) / (ho * max(h_i, 1.0))
-    else:
-        qx_u = 1.0 / wo
-        qy_v = 1.0 / ho
-    s, c = np.sin(rot), np.cos(rot)
-    dxdu = abs(qx_u * rw * c)
-    dxdv = abs(qy_v * rh * s)
-    dydu = abs(qx_u * rw * s)
-    dydv = abs(qy_v * rh * c)
+    (add ``y_align - 1``).  The derivative algebra is the SHARED
+    ``image.warp_derivatives`` (xp=numpy), the same letterbox math the
+    traced sampling grid is built from — it cannot drift."""
+    from . import image as image_ops
+
+    roi = np.asarray(roi_abs, np.float64)
+    dxdu, dxdv, dydu, dydv = image_ops.warp_derivatives(
+        roi, out_size, keep_aspect_ratio, xp=np)
     x_ext = cw * dxdu + rt * dxdv + 2.0
     y_ext = rt * dydv + cw * dydu + 2.0
-    return x_ext, y_ext
+    return float(x_ext), float(y_ext)
 
 
 def envelope_ok_host(roi_abs, out_size, keep_aspect_ratio: bool,
@@ -239,7 +223,7 @@ def _warp_kernel(r_ref, g_ref, b_ref, xs_ref, ys_ref, out_ref, *,
     pb = xs_ref.shape[3]
     # bf16 planes need 16-row sublane-tile alignment and have no
     # 32-bit lane rotate, so they require the roll-free wide window
-    y_align = 16 if r_ref.dtype == jnp.bfloat16 else 8
+    y_align = plane_y_align(r_ref.dtype)
     assert wide or y_align == 8, "bf16 planes require wide mode"
     assert wide or xload == XLOAD, "custom xload requires wide mode"
 
@@ -281,7 +265,7 @@ def _warp_kernel_strips(planes_ref, xs_ref, ys_ref, out_ref,
     cb_count = xs_ref.shape[2]
     pb = xs_ref.shape[4]
     b = pl.program_id(0) // plane_ratio
-    y_align = 16 if planes_ref.dtype == jnp.bfloat16 else 8
+    y_align = plane_y_align(planes_ref.dtype)
     assert wide or y_align == 8, "bf16 planes require wide mode"
     assert wide or xload == XLOAD, "custom xload requires wide mode"
 
@@ -433,7 +417,7 @@ def make_planes(image_hwc, band: int = 48, dtype=jnp.float32,
         _, h, w = image_hwc.shape
     else:
         h, w, _ = image_hwc.shape
-    y_align = 16 if dtype == jnp.bfloat16 else 8
+    y_align = plane_y_align(dtype)
     hp = max(-(-h // y_align) * y_align,
              -(-band // y_align) * y_align)
     wp = padded_width(w)

@@ -209,11 +209,11 @@ class _DetectorBase:
         traffic (make_planes gates residency at f32 size for every
         dtype — near-budget bf16-resident sets fail Mosaic
         compilation)."""
-        from .ops.pallas_warp import planes_fit_vmem
+        from .ops.pallas_warp import plane_y_align, planes_fit_vmem
         w, h = image_size
-        if planes_fit_vmem(h, w):
-            return jnp.float32, 8
-        return jnp.bfloat16, 16
+        dtype = (jnp.float32 if planes_fit_vmem(h, w)
+                 else jnp.bfloat16)
+        return dtype, plane_y_align(dtype)
 
     @staticmethod
     def _warp_cfg(image_size):
