@@ -193,6 +193,7 @@ int tpuface_mjpeg_index(const uint8_t* data, unsigned long len,
     if (pos + 2 > len) break;
     const unsigned long start = pos;
     unsigned long p = pos + 2;
+    unsigned long resync = start + 2;
     bool done = false, bad = false;
     while (!done && !bad) {
       // marker must start with FF (skip fill bytes)
@@ -209,6 +210,14 @@ int tpuface_mjpeg_index(const uint8_t* data, unsigned long len,
         done = true;
       } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
         p += 2;                                         // standalone
+      } else if (m == 0xD8) {
+        // Unexpected SOI where a segment should start: the previous
+        // frame was truncated (malformed stream).  Were it read as a
+        // length segment, two data bytes would become a bogus length
+        // and the walk could emit garbage slices.  Drop the truncated
+        // frame and resync AT this SOI so the next frame is kept.
+        bad = true;
+        resync = p;
       } else if (m == 0xDA) {                           // SOS
         if (p + 4 > len) { bad = true; break; }
         const unsigned long seg =
@@ -227,7 +236,7 @@ int tpuface_mjpeg_index(const uint8_t* data, unsigned long len,
         p += 2 + seg;
       }
     }
-    if (bad) pos = start + 2;   // resync past the bogus SOI
+    if (bad) pos = resync;   // past the bogus SOI, or AT a nested one
   }
   return n;
 }

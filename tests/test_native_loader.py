@@ -75,6 +75,33 @@ def test_mjpeg_split_roundtrip(tmp_path):
     assert out.shape == (3, 3, 48, 64)
 
 
+def test_mjpeg_split_truncated_frame_resyncs_at_next_soi():
+    """A truncated frame (stream cuts to the next SOI where a segment
+    should start) is dropped; the following frames are kept intact.
+
+    Without the explicit SOI-resync the walk would read the next
+    frame's marker bytes as a segment LENGTH and could land on
+    plausible-marker bytes deep inside it, emitting a garbage slice
+    that swallows the real frame (the round-2 advisor finding)."""
+    # truncated frame: SOI + one complete APP0 segment, then nothing
+    bad = b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00"
+    # f2: SOI + one huge APP1 segment with FF D9 planted exactly where
+    # the buggy length-jump from `bad` would land, then SOS + entropy
+    # + EOI.  The correct walk skips the whole APP1 by its length.
+    app1_len = 65530                       # includes the 2 length bytes
+    payload = bytearray(b"\x00" * (app1_len - 2))
+    # buggy walk: at p=8 reads f2's marker bytes FF E1 as a length
+    # -> p = 8 + 2 + 0xFFE1 = 65515 (global); plant FF D9 there
+    plant = 65515 - (8 + 2 + 2 + 2)        # offset inside the payload
+    payload[plant:plant + 2] = b"\xff\xd9"
+    f2 = (b"\xff\xd8" + b"\xff\xe1" + app1_len.to_bytes(2, "big")
+          + bytes(payload) + b"\xff\xda\x00\x02" + b"\x11" * 100
+          + b"\xff\xd9")
+    f3 = b"\xff\xd8\xff\xda\x00\x02" + b"\x22" * 16 + b"\xff\xd9"
+    parts = native_loader.mjpeg_split(bad + f2 + f3)
+    assert parts == [f2, f3]
+
+
 def test_mjpeg_split_handles_marker_bytes_in_scan():
     """0xFFD8/0xFFD9-looking bytes inside entropy-coded data must not
     split a frame (the parser walks segment structure)."""
