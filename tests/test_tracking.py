@@ -168,6 +168,72 @@ def test_multiface_tracker_locks_and_tracks(two_face_video):
             assert d.max() <= 3.0, (k, d.max())
 
 
+def test_match_slots_unit():
+    """Greedy IoU slot assignment: survivors keep slots, entries fill
+    empty slots in score order, no-previous-state = identity."""
+    import jax.numpy as jnp
+
+    from tpu_face.tracking import match_slots
+
+    def roi(cx, cy, s=40.0):
+        return [cx, cy, s, s, 0.0]
+
+    # prev: slot0 = face A @ (100,100), slot1 = face B @ (300,100)
+    prev = jnp.array([roi(100, 100), roi(300, 100), roi(0, 0),
+                      roi(0, 0)], jnp.float32)
+    pval = jnp.array([True, True, False, False])
+    # new NMS order: B first (higher score), then A, then entry C
+    new = jnp.array([roi(302, 101), roi(99, 102), roi(200, 200),
+                     roi(0, 0)], jnp.float32)
+    nval = jnp.array([True, True, True, False])
+    perm = np.asarray(match_slots(new, nval, prev, pval))
+    assert perm[0] == 1      # slot0 keeps face A (new index 1)
+    assert perm[1] == 0      # slot1 keeps face B (new index 0)
+    assert perm[2] == 2      # entry C fills the first empty slot
+    # identity when no previous slots are valid
+    perm0 = np.asarray(match_slots(new, nval, prev,
+                                   jnp.zeros(4, bool)))
+    np.testing.assert_array_equal(perm0, [0, 1, 2, 3])
+
+
+def test_multiface_scene_entry_keeps_slots(two_face_video):
+    """A face entering mid-stream is acquired at the next redetect in
+    an EMPTY slot; the already-tracked face's slot is unchanged."""
+    from tpu_face.tracking import MultiFaceTracker
+
+    solo = two_face_video[0].copy()
+    solo[:, 200:] = 128                   # right face not yet in scene
+    tracker = MultiFaceTracker(FaceDetectionModel.FULL, max_faces=4,
+                               redetect_every=2)
+    r = tracker.step(solo[None])          # step 0: forced detect
+    assert tracker.face_count[0] == 1
+    valid0 = np.asarray(r.mesh_valid)[0]
+    s1 = int(np.argmax(valid0))
+    x1 = float(np.asarray(r.mesh)[0, s1, :, 0].mean())
+    assert x1 < 0.5                       # the left face
+
+    r = tracker.step(two_face_video[1][None])   # step 1: tracked only
+    assert tracker.face_count[0] == 1           # entry not seen yet
+
+    r = tracker.step(two_face_video[2][None])   # step 2: redetect
+    valid = np.asarray(r.mesh_valid)[0]
+    assert valid.sum() == 2
+    # the tracked face kept its slot and is still the left face
+    assert valid[s1]
+    x1b = float(np.asarray(r.mesh)[0, s1, :, 0].mean())
+    assert x1b < 0.5 and abs(x1b - x1) < 0.1
+    # the entering face landed in a different (previously empty) slot
+    s2 = int([i for i in range(4) if valid[i] and i != s1][0])
+    x2 = float(np.asarray(r.mesh)[0, s2, :, 0].mean())
+    assert x2 > 0.5
+    # and tracking continues with both slots stable
+    r = tracker.step(two_face_video[3][None])
+    valid = np.asarray(r.mesh_valid)[0]
+    assert valid[s1] and valid[s2]
+    assert float(np.asarray(r.mesh)[0, s1, :, 0].mean()) < 0.5
+    assert float(np.asarray(r.mesh)[0, s2, :, 0].mean()) > 0.5
+
+
 def test_multiface_tracker_loss_triggers_redetect(two_face_video):
     from tpu_face.tracking import MultiFaceTracker
 

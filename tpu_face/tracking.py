@@ -177,6 +177,59 @@ class FaceTracker:
         return np.asarray(self._state.valid)
 
 
+def _roi_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU of the axis-aligned bounds of two [K, 5] ROI sets."""
+    def box(r):
+        return jnp.stack([r[:, 0] - r[:, 2] / 2, r[:, 1] - r[:, 3] / 2,
+                          r[:, 0] + r[:, 2] / 2, r[:, 1] + r[:, 3] / 2],
+                         axis=1)
+
+    ab, bb = box(a), box(b)
+    x0 = jnp.maximum(ab[:, None, 0], bb[None, :, 0])
+    y0 = jnp.maximum(ab[:, None, 1], bb[None, :, 1])
+    x1 = jnp.minimum(ab[:, None, 2], bb[None, :, 2])
+    y1 = jnp.minimum(ab[:, None, 3], bb[None, :, 3])
+    inter = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)
+    area_a = (ab[:, 2] - ab[:, 0]) * (ab[:, 3] - ab[:, 1])
+    area_b = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter,
+                               1e-9)
+
+
+def match_slots(new_roi: jnp.ndarray, new_valid: jnp.ndarray,
+                prev_roi: jnp.ndarray, prev_valid: jnp.ndarray,
+                iou_thresh: float = 0.1) -> jnp.ndarray:
+    """Greedy IoU assignment of K re-detected faces to K previous
+    slots, keeping identities stable across a re-detection.
+
+    Returns perm [K] int32 such that slot j should take new face
+    perm[j].  Matched pairs (IoU > thresh between the new and previous
+    face ROIs) keep their slot; unmatched new faces (scene entries)
+    fill the unmatched slots in NMS score order.  With no valid
+    previous slots the permutation is the identity (initial fill stays
+    in score order).  K is static, so the K-iteration greedy loop
+    unrolls into straight-line XLA ops — no host sync."""
+    k = new_roi.shape[0]
+    m = jnp.where(new_valid[:, None] & prev_valid[None, :],
+                  _roi_iou_matrix(new_roi, prev_roi), -1.0)
+    slot_src = jnp.full((k,), -1, jnp.int32)
+    used = jnp.zeros((k,), bool)
+    for _ in range(k):
+        flat = jnp.argmax(m)
+        i = (flat // k).astype(jnp.int32)
+        j = (flat % k).astype(jnp.int32)
+        ok = m.reshape(-1)[flat] > iou_thresh
+        slot_src = jnp.where(ok, slot_src.at[j].set(i), slot_src)
+        used = jnp.where(ok, used.at[i].set(True), used)
+        m = jnp.where(ok, m.at[i, :].set(-1.0).at[:, j].set(-1.0), m)
+    unmatched = slot_src < 0
+    rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1
+    # stable sort: unmatched new faces in ascending index = NMS score
+    # order fill the unmatched slots in slot order
+    fill = jnp.argsort(used)[jnp.clip(rank, 0, k - 1)]
+    return jnp.where(unmatched, fill.astype(jnp.int32), slot_src)
+
+
 class MultiTrackerState(NamedTuple):
     roi: jnp.ndarray      # [B, K, 5] absolute per-face ROIs
     valid: jnp.ndarray    # [B, K] bool: slot holds a tracked face
@@ -192,12 +245,13 @@ class MultiFaceTracker:
     mesh+iris stages run (one program over the B*K face grid — the
     detector CNN is skipped through a real batch-level ``lax.cond``).
     A stream UNLOCKS (full detection next step) when any tracked face
-    loses mesh presence.  Slot identity is stable while locked; a
-    re-detection re-fills slots in NMS score order, so identities may
-    permute across a loss.  NOTE: faces ENTERING the scene are only
-    discovered by the detector — set ``redetect_every`` to rediscover
-    periodically, exactly like the upstream tracking graph's
-    re-detection interval.
+    loses mesh presence.  Slot identity is stable while locked AND
+    across re-detections: every detector pass greedily IoU-matches the
+    new faces to the previous slots (``match_slots``), so a surviving
+    face keeps its slot and a scene-entering face takes an empty one.
+    NOTE: faces ENTERING the scene are only discovered by the detector
+    — set ``redetect_every`` to rediscover periodically, exactly like
+    the upstream tracking graph's re-detection interval.
 
     >>> tracker = MultiFaceTracker(max_faces=4)
     >>> for frames in video_batches:          # [B, H, W, 3]
@@ -260,10 +314,21 @@ class MultiFaceTracker:
     def _step_fn(self, images, rois, valid, locked, force_detect,
                  image_size):
         c = self.cascade
+        w, h = image_size
 
         def full_path(_):
-            return jax.vmap(
+            res = jax.vmap(
                 lambda im: c._single(im, image_size))(images)
+            # keep slot identities stable across the re-detection:
+            # match new faces to the previous slots by ROI overlap
+            scale = jnp.array([w, h, w, h, 1.0], jnp.float32)
+
+            def reorder(res_k, proi, pval):
+                perm = match_slots(res_k.face_roi * scale,
+                                   res_k.mesh_valid, proi, pval)
+                return jax.tree_util.tree_map(lambda x: x[perm], res_k)
+
+            return jax.vmap(reorder)(res, rois, valid)
 
         def tracked_path(_):
             return jax.vmap(
