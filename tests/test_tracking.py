@@ -68,6 +68,48 @@ def test_tracker_batch_streams(video):
     assert bool(valid[0]) and not bool(valid[1])
 
 
+def test_tracker_churn_repair(video):
+    """Per-stream lock churn: one stream goes dark each step.  The
+    repair sub-batch re-detects lost streams IN-step (entry-lost
+    streams regain validity the moment their frame is good again)
+    while the other streams stay on the tracked path."""
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                          repair_batch=2)
+    b = 4
+    frames = np.stack([video[i % len(video)] for i in range(b)])
+    tracker.step(frames)                   # full detect (fresh state)
+    assert tracker.tracking.all()
+    for step in range(4):
+        kill = step % b
+        cur = frames.copy()
+        cur[kill] = 0
+        res = tracker.step(cur)
+        valid = np.asarray(res.mesh_valid)
+        # the darkened stream is invalid this step...
+        assert not valid[kill], step
+        # ...every other stream (including last step's victim, whose
+        # state was invalid at entry: repaired in-step) is valid
+        others = [i for i in range(b) if i != kill]
+        assert valid[others].all(), (step, valid)
+
+
+def test_tracker_mass_loss_full_path(video):
+    """More simultaneous losses than the repair batch: the step falls
+    back to full detection for everyone and recovers the whole batch
+    the next step."""
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                          repair_batch=1)
+    b = 4
+    frames = np.stack([video[i % len(video)] for i in range(b)])
+    tracker.step(frames)
+    assert tracker.tracking.all()
+    tracker.step(np.zeros_like(frames))    # all streams lose lock
+    assert not tracker.tracking.any()
+    res = tracker.step(frames)             # mass loss -> full path
+    assert np.asarray(res.mesh_valid).all()
+    assert tracker.tracking.all()
+
+
 def test_redetect_every_forces_detection(video):
     tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
                           redetect_every=2)
@@ -240,12 +282,16 @@ def test_multiface_tracker_loss_triggers_redetect(two_face_video):
     tracker = MultiFaceTracker(FaceDetectionModel.FULL, max_faces=4)
     tracker.step(two_face_video[0][None])
     assert tracker.face_count[0] == 2
-    # blank out the right face: its slot loses presence -> unlock
+    # blank out the right face: its slot loses presence and the repair
+    # sub-batch re-detects the stream IN-step, re-locking on the
+    # remaining face
     lost = two_face_video[1].copy()
     lost[:, 200:] = 0
     tracker.step(lost[None])
-    assert not tracker.tracking.all()
-    # next step redetects and relocks on the remaining face
-    tracker.step(lost[None])
     assert tracker.tracking.all()
     assert tracker.face_count[0] == 1
+    # the survivor keeps tracking on subsequent frames
+    r = tracker.step(lost[None])
+    assert tracker.tracking.all()
+    assert tracker.face_count[0] == 1
+    assert np.asarray(r.mesh_valid)[0].sum() == 1

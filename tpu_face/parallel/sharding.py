@@ -63,10 +63,11 @@ def track_sharded(tracker, images, mesh: Optional[Mesh] = None,
 
     Streams are data-parallel like cascade frames; the tracker's
     (roi, valid) state arrays come out of the jitted step sharded like
-    the inputs, so state stays chip-resident across steps.  The only
-    cross-chip communication is the tiny all-reduce behind the
-    "all streams locked" predicate that picks the tracked vs full
-    program each step.
+    the inputs, so state stays chip-resident across steps.  Steady
+    state communicates only the tiny all-reduces behind the lost-count
+    predicates; a step that repairs lost streams additionally pays a
+    cross-chip gather/scatter of the ``repair_batch`` frames it
+    re-detects (tracking.py's in-step repair sub-batch).
     """
     import jax.numpy as jnp
     if mesh is None:

@@ -10,10 +10,16 @@ this is the TPU-native equivalent of the upstream
 face_landmark_front.pbtxt tracking loop, kept entirely on device.
 
 One jitted step serves B parallel streams: state is (roi [B,5],
-valid [B]).  A batch-level ``lax.cond`` picks between the full cascade
-(any stream lost) and the tracking-only program (all locked), so the
-detector's CNN — the dominant stage cost — is genuinely skipped at
-runtime, not masked.
+valid [B]).  The step runs the tracking-only program for ALL streams,
+then — only if any stream's tracked output is unusable — gathers up to
+``repair_batch`` lost streams into a sub-batch and runs the full
+detection cascade on just those frames, scattering the results back
+(``lax.cond`` around the repair, so the detector CNN is genuinely
+skipped at runtime when every stream is locked).  Realistic per-stream
+lock churn therefore costs ~tracked(B) + full(R) per step instead of
+collapsing the whole batch to the full path the moment one stream
+loses lock; a mass-loss event (more lost streams than one repair pass
+covers) or a forced redetect still takes the full path for everyone.
 """
 
 from typing import NamedTuple, Optional, Tuple
@@ -70,7 +76,8 @@ class FaceTracker:
                  compute_dtype=jnp.float32,
                  warp_method: str = "auto",
                  redetect_every: Optional[int] = None,
-                 input_layout: str = "hwc"):
+                 input_layout: str = "hwc",
+                 repair_batch: Optional[int] = None):
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
                                    compute_dtype=compute_dtype,
@@ -82,10 +89,19 @@ class FaceTracker:
         # force a detector pass every N steps even while locked (guards
         # against slow drift); None = only on tracking loss
         self.redetect_every = redetect_every
+        # per-step detection sub-batch for lost streams; None = B // 8
+        # (min 1).  More simultaneous losses than this fall back to the
+        # full path (and unrepaired streams recover on later steps).
+        self.repair_batch = repair_batch
         self._state: Optional[TrackerState] = None
         self._state_hw: Optional[Tuple[int, int]] = None
         self._steps = 0
         self._jitted = {}
+
+    def _repair_n(self, b: int) -> int:
+        r = (self.repair_batch if self.repair_batch is not None
+             else max(1, b // 8))
+        return min(r, b)
 
     # ---- jitted step -----------------------------------------------------
 
@@ -111,19 +127,51 @@ class FaceTracker:
 
     def _step_fn(self, images, roi, valid, force_detect, image_size):
         c = self.cascade
+        b = images.shape[0]
+        r = self._repair_n(b)
         w, h = image_size
 
         def full_path(_):
             return jax.vmap(
                 lambda im: c._single(im, image_size))(images)
 
-        def tracked_path(_):
-            return jax.vmap(
-                lambda im, r: self._tracked_single(im, r, image_size)
-            )(images, roi)
+        def tracked_repair_path(_):
+            # mesh+iris for ALL streams from the previous ROIs;
+            # streams without a usable ROI get a unit dummy (NaN-free
+            # warp math) and are repaired below
+            dummy = jnp.array([w / 2.0, h / 2.0, 64.0, 64.0, 0.0],
+                              jnp.float32)
+            safe = jnp.where(valid[:, None], roi, dummy)
+            res = jax.vmap(
+                lambda im, rr: self._tracked_single(im, rr, image_size)
+            )(images, safe)
+            # unusable tracked output: no entry ROI, or presence lost
+            lost = jnp.logical_not(valid & res.mesh_valid)
 
-        all_locked = jnp.all(valid) & jnp.logical_not(force_detect)
-        res = jax.lax.cond(all_locked, tracked_path, full_path,
+            def repair(cur):
+                order = jnp.argsort(jnp.logical_not(lost))  # lost first
+                sel = order[:r]
+                sel_lost = lost[sel]
+                sub = jnp.take(images, sel, axis=0)
+                rres = jax.vmap(
+                    lambda im: c._single(im, image_size))(sub)
+
+                def merge(a, b_):
+                    mask = sel_lost.reshape((r,) + (1,) * (b_.ndim - 1))
+                    return a.at[sel].set(jnp.where(mask, b_, a[sel]))
+
+                return jax.tree_util.tree_map(merge, cur, rres)
+
+            return jax.lax.cond(jnp.any(lost), repair,
+                                lambda cur: cur, res)
+
+        # the full path only for forced redetects or mass entry-loss:
+        # beyond one repair pass, or every stream (first step) — where
+        # detection-for-all is cheaper than tracked-for-all + repair
+        n_lost_entry = jnp.sum(jnp.logical_not(valid))
+        use_full = (force_detect | (n_lost_entry > r)
+                    | (n_lost_entry == b))
+        res = jax.lax.cond(use_full, full_path, tracked_repair_path,
                            operand=None)
         next_roi = jax.vmap(
             lambda m: roi_from_mesh(m, image_size))(res.mesh)
@@ -171,7 +219,9 @@ class FaceTracker:
 
     @property
     def tracking(self) -> np.ndarray:
-        """Per-stream bool: next step will skip detection iff all True."""
+        """Per-stream bool: a True stream enters the next step on the
+        detection-free tracked path (False streams are repaired by a
+        detection sub-batch, or the full path on mass loss)."""
         if self._state is None:
             return np.zeros(0, bool)
         return np.asarray(self._state.valid)
@@ -244,8 +294,11 @@ class MultiFaceTracker:
     slot derives its next ROI from its own previous mesh and only the
     mesh+iris stages run (one program over the B*K face grid — the
     detector CNN is skipped through a real batch-level ``lax.cond``).
-    A stream UNLOCKS (full detection next step) when any tracked face
-    loses mesh presence.  Slot identity is stable while locked AND
+    A stream whose tracked output becomes unusable (any tracked face
+    loses mesh presence) is re-detected IN-step by a bounded repair
+    sub-batch (``repair_batch`` streams per step, like
+    ``FaceTracker``); mass loss beyond that falls back to the full
+    path for everyone.  Slot identity is stable while locked AND
     across re-detections: every detector pass greedily IoU-matches the
     new faces to the previous slots (``match_slots``), so a surviving
     face keeps its slot and a scene-entering face takes an empty one.
@@ -266,7 +319,8 @@ class MultiFaceTracker:
                  compute_dtype=jnp.float32,
                  warp_method: str = "auto",
                  redetect_every: Optional[int] = None,
-                 input_layout: str = "hwc"):
+                 input_layout: str = "hwc",
+                 repair_batch: Optional[int] = None):
         assert max_faces >= 1
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
@@ -276,10 +330,15 @@ class MultiFaceTracker:
                                    input_layout=input_layout)
         self.max_faces = max_faces
         self.redetect_every = redetect_every
+        # per-step detection sub-batch for unlocked streams (see
+        # FaceTracker.repair_batch); None = B // 8, min 1
+        self.repair_batch = repair_batch
         self._state: Optional[MultiTrackerState] = None
         self._state_hw: Optional[Tuple[int, int]] = None
         self._steps = 0
         self._jitted = {}
+
+    _repair_n = FaceTracker._repair_n
 
     # ---- jitted step -----------------------------------------------------
 
@@ -314,40 +373,67 @@ class MultiFaceTracker:
     def _step_fn(self, images, rois, valid, locked, force_detect,
                  image_size):
         c = self.cascade
+        b = images.shape[0]
+        r = self._repair_n(b)
         w, h = image_size
+        scale = jnp.array([w, h, w, h, 1.0], jnp.float32)
+
+        def reorder(res_k, proi, pval):
+            # keep slot identities stable across a (re-)detection:
+            # match new faces to the previous slots by ROI overlap
+            perm = match_slots(res_k.face_roi * scale,
+                               res_k.mesh_valid, proi, pval)
+            return jax.tree_util.tree_map(lambda x: x[perm], res_k)
 
         def full_path(_):
             res = jax.vmap(
                 lambda im: c._single(im, image_size))(images)
-            # keep slot identities stable across the re-detection:
-            # match new faces to the previous slots by ROI overlap
-            scale = jnp.array([w, h, w, h, 1.0], jnp.float32)
+            res = jax.vmap(reorder)(res, rois, valid)
+            return res, jnp.any(res.mesh_valid, axis=-1)
 
-            def reorder(res_k, proi, pval):
-                perm = match_slots(res_k.face_roi * scale,
-                                   res_k.mesh_valid, proi, pval)
-                return jax.tree_util.tree_map(lambda x: x[perm], res_k)
-
-            return jax.vmap(reorder)(res, rois, valid)
-
-        def tracked_path(_):
-            return jax.vmap(
-                lambda im, r, v: self._tracked_single(im, r, v,
-                                                      image_size)
+        def tracked_repair_path(_):
+            res = jax.vmap(
+                lambda im, rr, v: self._tracked_single(im, rr, v,
+                                                       image_size)
             )(images, rois, valid)
+            # a stream's tracked output is unusable if it entered
+            # unlocked, or any previously-tracked face lost presence
+            lost_face = jnp.any(
+                valid & jnp.logical_not(res.mesh_valid), axis=-1)
+            lost = jnp.logical_not(locked) | lost_face
+            ok_locked = jnp.logical_not(lost) & jnp.any(res.mesh_valid,
+                                                        axis=-1)
 
-        all_locked = jnp.all(locked) & jnp.logical_not(force_detect)
-        res = jax.lax.cond(all_locked, tracked_path, full_path,
-                           operand=None)
+            def repair(cur):
+                order = jnp.argsort(jnp.logical_not(lost))
+                sel = order[:r]
+                sel_lost = lost[sel]
+                sub = jnp.take(images, sel, axis=0)
+                rres = jax.vmap(
+                    lambda im: c._single(im, image_size))(sub)
+                rres = jax.vmap(reorder)(rres, rois[sel], valid[sel])
+
+                def merge(a, b_):
+                    mask = sel_lost.reshape((r,) + (1,) * (b_.ndim - 1))
+                    return a.at[sel].set(jnp.where(mask, b_, a[sel]))
+
+                merged = jax.tree_util.tree_map(merge, cur, rres)
+                relocked = ok_locked.at[sel].set(jnp.where(
+                    sel_lost, jnp.any(rres.mesh_valid, axis=-1),
+                    ok_locked[sel]))
+                return merged, relocked
+
+            return jax.lax.cond(jnp.any(lost), repair,
+                                lambda cur: (cur, ok_locked), res)
+
+        n_unlocked = jnp.sum(jnp.logical_not(locked))
+        use_full = (force_detect | (n_unlocked > r)
+                    | (n_unlocked == b))
+        res, next_locked = jax.lax.cond(
+            use_full, full_path, tracked_repair_path, operand=None)
         next_roi = jax.vmap(jax.vmap(
             lambda m: roi_from_mesh(m, image_size)))(res.mesh)
-        next_valid = res.mesh_valid                       # [B, K]
-        # locked: >= 1 face AND no previously-tracked face lost this
-        # step (a loss forces a full detection pass next frame)
-        lost = jnp.any(valid & jnp.logical_not(next_valid), axis=-1)
-        next_locked = jnp.any(next_valid, axis=-1) & jnp.logical_not(
-            jnp.where(all_locked, lost, False))
-        return res, MultiTrackerState(next_roi, next_valid,
+        return res, MultiTrackerState(next_roi, res.mesh_valid,
                                       next_locked)
 
     def _get_jitted(self, hw):
@@ -392,7 +478,9 @@ class MultiFaceTracker:
 
     @property
     def tracking(self) -> np.ndarray:
-        """Per-stream bool: next step skips detection iff all True."""
+        """Per-stream bool: a True stream enters the next step on the
+        detection-free tracked path (False streams are repaired by a
+        detection sub-batch, or the full path on mass loss)."""
         if self._state is None:
             return np.zeros(0, bool)
         return np.asarray(self._state.locked)
