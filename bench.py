@@ -115,6 +115,14 @@ def main():
     ap.add_argument("--no-tracking", action="store_true",
                     help="skip the video-tracking-mode measurement "
                          "(detector skipped while streams stay locked)")
+    ap.add_argument("--no-churn", action="store_true",
+                    help="skip the tracking-under-churn measurement "
+                         "(2 streams lose lock per step, repaired by "
+                         "the in-step detection sub-batch)")
+    ap.add_argument("--no-embed", action="store_true",
+                    help="skip the fused detect->crop->embed "
+                         "(EmbedCascade) measurement on the demo "
+                         "embeddings graph")
     ap.add_argument("--layout", choices=["hwc", "planar"],
                     default="hwc",
                     help="frame layout fed to the cascade: hwc = "
@@ -201,9 +209,31 @@ def main():
          f"({step_ms / args.batch:.4f} ms/frame)"
          f"{' [identical frames]' if args.identical else ' [distinct]'}")
 
+    # MFU: CNN FLOPs per frame (detect + mesh + 2x iris graphs; the
+    # warps/NMS add none of the MXU work) against the chip's bf16 peak
+    mfu_pct = None
+    try:
+        from tpu_face.compiler import Graph, graph_flops
+        from tpu_face.models.face_detection import (_DATA_DIR,
+                                                    _MODEL_FILES)
+        det_g = Graph(_DATA_DIR / f"{_MODEL_FILES[model]}.npz")
+        mesh_g = Graph(_DATA_DIR / "face_landmark.npz")
+        iris_g = Graph(_DATA_DIR / "iris_landmark.npz")
+        flops_frame = (graph_flops(det_g) + graph_flops(mesh_g)
+                       + 2 * graph_flops(iris_g))
+        peak = 197e12  # v5e bf16 peak (docs/PERF.md)
+        mfu_pct = 100.0 * fps * flops_frame / peak
+        _log(f"MFU: {mfu_pct:.2f}% ({flops_frame / 1e6:.0f} MFLOP/frame"
+             f" at {fps:.0f} fps vs {peak / 1e12:.0f} TFLOP/s peak)")
+    except Exception as e:                          # noqa: BLE001
+        _log(f"mfu computation skipped: {e}")
+
     # batch-1 p50 latency (BASELINE.md deliverable): single frame,
-    # host-to-host, steady state
+    # host-to-host, steady state — through the dev tunnel this is
+    # dominated by the ~20 ms fetch RTT, so the device-only number is
+    # measured separately below
     p50_ms = None
+    p50_device_ms = None
     if not args.skip_p50:
         one = batch[:1]
         jax.block_until_ready(cascade(one))
@@ -214,12 +244,59 @@ def main():
             np.asarray(r.score)  # force completion (see note above)
             lats.append(time.perf_counter() - t0)
         p50_ms = float(np.median(lats) * 1e3)
-        _log(f"batch-1 p50 latency: {p50_ms:.2f} ms")
+        _log(f"batch-1 p50 latency: {p50_ms:.2f} ms (host-to-host, "
+             f"incl. transfer)")
+        # device-only: a jitted fori_loop runs the whole cascade K
+        # times back-to-back ON DEVICE.  The loop-carried acc*0.0 term
+        # (not foldable for floats — NaN semantics) makes each
+        # iteration data-depend on the previous one, so XLA cannot
+        # hoist the loop-invariant cascade out; neither per-call
+        # dispatch nor the tunnel is inside the measured window.
+        from functools import partial as _partial
+
+        if args.layout == "planar":
+            _, _, bh, bw = batch.shape
+        else:
+            _, bh, bw, _ = batch.shape
+        single = _partial(cascade._single, image_size=(bw, bh))
+        one_f = one.astype(jnp.float32)
+
+        @_partial(jax.jit, static_argnames="n")
+        def rep(im, n):
+            def body(i, acc):
+                rr = jax.vmap(single)(im + acc * 0.0)
+                return acc + jnp.sum(rr.score) * 0.0
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        k = 50
+        rtts = []
+        for i in range(5):
+            # a FRESH tiny device value each probe: fetching the same
+            # array twice reads jax's host-side cache and measures 0
+            scal = one_f.ravel()[0] + jnp.float32(i)
+            t0 = time.perf_counter()
+            np.asarray(scal)
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        np.asarray(rep(one_f, k))        # compile + warm
+        windows = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(rep(one_f, k))
+            windows.append((time.perf_counter() - t0 - rtt) / k)
+        p50_device_ms = float(np.median(windows) * 1e3)
+        _log(f"batch-1 device-only latency: {p50_device_ms:.3f} ms "
+             f"(on-device repeat loop, fetch RTT {rtt * 1e3:.2f} ms "
+             f"excluded)")
 
     tracking_fps = None
+    tracking_churn_fps = None
+    tracking_error = None
     if not args.no_tracking:
         # measured by default but NEVER allowed to fail the bench —
-        # the canonical cascade metric above is already recorded
+        # the canonical cascade metric above is already recorded; a
+        # failure is surfaced in the JSON record (tracking_error) so a
+        # regression is visible in the artifact, not just stderr
         try:
             from tpu_face.tracking import FaceTracker
 
@@ -240,15 +317,96 @@ def main():
             np.asarray(r.score)
             dt = time.perf_counter() - t0
             # the number is only "tracking mode" if lock held the whole
-            # loop — a lost stream silently re-runs the detector
+            # loop — a lost stream silently runs the repair sub-batch
             assert tracker.tracking.all(), \
                 "tracking lost mid-loop; tracking_fps would be invalid"
             tracking_fps = args.batch * args.iters / dt
             _log(f"tracking mode: {tracking_fps:.1f} frames/s "
                  f"({dt / args.iters * 1e3:.2f} ms/step, detector "
                  f"skipped)")
+
+            if not args.no_churn and args.batch >= 8:
+                # realistic lock churn: CHURN streams go dark each
+                # step (rotating), lose mesh presence, and are
+                # re-detected by the in-step repair sub-batch.  All
+                # frame mutation happens on device (one jnp.where per
+                # step) — no host transfers inside the loop.
+                churn = max(2, args.batch // 64)   # ~1.6% of streams
+                period = 32
+                masks = np.zeros((period, args.batch), bool)
+                for i in range(period):
+                    for c in range(churn):
+                        masks[i, (i * churn + c) % args.batch] = True
+                masks_d = jnp.asarray(masks)
+                mshape = ((args.batch, 1, 1, 1))
+                # repair sub-batch sized to the churn rate (covers the
+                # steady state of churn new losses + churn recovering
+                # streams, with 2x burst headroom): a small detection
+                # batch amortizes far better than the default B/8
+                tracker = FaceTracker(model,
+                                      compute_dtype=(jnp.bfloat16
+                                                     if chosen == "bf16"
+                                                     else jnp.float32),
+                                      input_layout=args.layout,
+                                      repair_batch=4 * churn)
+                tracker.step(batch)               # lock (full path)
+                for i in range(3):                # compile churn path
+                    cur = jnp.where(masks_d[i].reshape(mshape),
+                                    jnp.uint8(0), batch)
+                    r = tracker.step(cur)
+                np.asarray(r.score)
+                t0 = time.perf_counter()
+                for i in range(args.iters):
+                    cur = jnp.where(masks_d[i % period].reshape(mshape),
+                                    jnp.uint8(0), batch)
+                    r = tracker.step(cur)
+                np.asarray(r.score)
+                dt = time.perf_counter() - t0
+                # repair keeps losses bounded: only the currently-dark
+                # streams and the just-recovered ones may be unlocked
+                n_lost = int((~tracker.tracking).sum())
+                assert n_lost <= 2 * churn, \
+                    f"churn backlog grew to {n_lost} lost streams"
+                tracking_churn_fps = args.batch * args.iters / dt
+                _log(f"tracking w/ churn ({churn}/{args.batch} "
+                     f"streams/step): {tracking_churn_fps:.1f} "
+                     f"frames/s ({dt / args.iters * 1e3:.2f} ms/step, "
+                     f"{n_lost} lost at end)")
         except Exception as e:                      # noqa: BLE001
-            _log(f"tracking measurement skipped: {e}")
+            tracking_error = str(e)
+            _log(f"tracking measurement failed: {e}")
+
+    embed_fps = None
+    embed_error = None
+    if not args.no_embed:
+        # fused detect -> crop -> embed serving pipeline on the demo
+        # (synthetic-weight) embeddings graph — the real model is not
+        # bundled, but the program shape/throughput is the same class
+        try:
+            from pathlib import Path
+
+            from tpu_face.pipeline import EmbedCascade
+
+            demo = Path(__file__).parent / "tpu_face/data/demo"
+            ecas = EmbedCascade(model, embed_model_path=str(demo),
+                                compute_dtype=(jnp.bfloat16
+                                               if chosen == "bf16"
+                                               else jnp.float32),
+                                input_layout=args.layout)
+            r = ecas(batch)
+            np.asarray(r.score)
+            assert bool(np.asarray(r.face_valid[0])), "no face embedded"
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = ecas(batch)
+            np.asarray(r.score)
+            dt = time.perf_counter() - t0
+            embed_fps = args.batch * args.iters / dt
+            _log(f"embed cascade: {embed_fps:.1f} frames/s "
+                 f"({dt / args.iters * 1e3:.2f} ms/step)")
+        except Exception as e:                      # noqa: BLE001
+            embed_error = str(e)
+            _log(f"embed measurement failed: {e}")
 
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
     record = {
@@ -261,8 +419,21 @@ def main():
     }
     if p50_ms is not None:
         record["p50_batch1_ms"] = round(p50_ms, 2)
+    if p50_device_ms is not None:
+        record["p50_device_ms"] = round(p50_device_ms, 3)
+    if mfu_pct is not None:
+        record["mfu_pct"] = round(mfu_pct, 2)
     if tracking_fps is not None:
         record["tracking_fps_per_chip"] = round(tracking_fps, 1)
+    if tracking_churn_fps is not None:
+        record["tracking_churn_fps_per_chip"] = round(tracking_churn_fps,
+                                                      1)
+    if tracking_error is not None:
+        record["tracking_error"] = tracking_error
+    if embed_fps is not None:
+        record["embed_fps_per_chip"] = round(embed_fps, 1)
+    if embed_error is not None:
+        record["embed_error"] = embed_error
     print(json.dumps(record))
 
 

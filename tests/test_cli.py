@@ -92,6 +92,27 @@ def test_cli_embed_with_converted_model(capsys):
     assert d["cosine_similarity"] > 0.3
 
 
+def test_cli_identify_demo_graph(capsys):
+    """Fused detect->crop->embed CLI on the bundled demo embeddings
+    graph: one JSON line per image, a pairwise-similarity line, and
+    the demo_weights marker (similarities are not semantic)."""
+    rc = main(["identify", MAN, MAN])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and len(lines) == 3
+    for d in lines[:2]:
+        assert d["face"] is True
+        assert d["demo_weights"] is True
+        assert d["dim"] == 128
+        assert d["crop_bbox"] == pytest.approx([195, 75, 334, 214],
+                                               abs=1.5)
+    pairs = lines[2]
+    assert pairs["demo_weights"] is True
+    # identical images -> identical crops -> cosine exactly ~1
+    assert pairs["pairs"][0]["cosine_similarity"] == pytest.approx(
+        1.0, abs=1e-3)
+
+
 def test_cli_cascade_batch(capsys):
     """Fused-pipeline CLI: one JSON line per image, BASELINE values."""
     rc = main(["cascade", MAN, MAN, "--pixels"])

@@ -119,6 +119,7 @@ def test_image_to_tensor_host_api():
     assert -1.0 <= out.tensor_data.min() and out.tensor_data.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_warp_fuzz_roi_geometry_vs_opencv():
     """Seeded fuzz over ROI geometry (center/size/rotation, including
     partially out-of-frame ROIs): the exact gather path must track the

@@ -52,6 +52,7 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_tracker_matches_single_device():
     """Video streams sharded over the mesh: lock, then tracked steps
     match the unsharded tracker."""

@@ -68,6 +68,7 @@ def test_tracker_batch_streams(video):
     assert bool(valid[0]) and not bool(valid[1])
 
 
+@pytest.mark.slow
 def test_tracker_churn_repair(video):
     """Per-stream lock churn: one stream goes dark each step.  The
     repair sub-batch re-detects lost streams IN-step (entry-lost

@@ -312,9 +312,9 @@ def test_warp_cfg_narrow_tall_frame_budget():
     plane width instead of over-promising the envelope."""
     from tpu_face.pipeline import FaceCascade
 
-    cw, xload, x_budget = FaceCascade._warp_cfg((300, 2700))
+    cw, xload, x_budget, rt = FaceCascade._warp_cfg((300, 2700))
     assert xload == 384 and x_budget == 384 - 129
-    cw, xload, x_budget = FaceCascade._warp_cfg((2160, 3840))
+    cw, xload, x_budget, rt = FaceCascade._warp_cfg((2160, 3840))
     assert xload == 512 and x_budget == 383
-    cw, xload, x_budget = FaceCascade._warp_cfg((540, 360))
-    assert (cw, xload, x_budget) == (32, 256, 126)
+    cw, xload, x_budget, rt = FaceCascade._warp_cfg((540, 360))
+    assert (cw, xload, x_budget, rt) == (32, 256, 126, 8)

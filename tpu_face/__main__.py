@@ -9,6 +9,8 @@ optional annotated-PNG rendering, runnable on CPU or TPU:
     python -m tpu_face mesh    IMG [--render out.png]
     python -m tpu_face iris    IMG [--render out.png]
     python -m tpu_face embed   IMG1 IMG2 [--model-path DIR]
+    python -m tpu_face cascade IMG... [--max-faces K]
+    python -m tpu_face identify IMG... [--embed-model-path DIR]
     python -m tpu_face info
 
 ``detect`` prints every detection (score, bbox, 6 keypoints);
@@ -239,6 +241,66 @@ def cmd_cascade(args):
     return 0
 
 
+def cmd_identify(args):
+    """Fused detect -> crop -> embed (pipeline.EmbedCascade) over many
+    same-sized images: ONE jitted XLA program, one JSON line per image
+    plus the pairwise cosine matrix."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from .pipeline import EmbedCascade
+
+    imgs = []
+    size = None
+    for path in args.images:
+        img, s = _load(path)
+        if size is None:
+            size = s
+        elif s != size:
+            print(json.dumps({"error": f"{path} is {s}, batch is "
+                                       f"{size} — same-size images "
+                                       f"only"}))
+            return 1
+        imgs.append(img)
+    demo = Path(__file__).resolve().parent / "data" / "demo"
+    embed_path = args.embed_model_path or args.model_path
+    demo_weights = embed_path is None
+    if demo_weights:
+        embed_path = str(demo)
+    try:
+        cas = EmbedCascade(_model_enum(args.model),
+                           model_path=args.model_path,
+                           embed_model_path=embed_path)
+    except FileNotFoundError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    res = cas.infer_batch(np.stack(imgs))
+    valid = np.asarray(res.face_valid).reshape(len(imgs))
+    score = np.asarray(res.score).reshape(len(imgs))
+    crops = np.asarray(res.crop_bbox).reshape(len(imgs), 4)
+    embs = np.asarray(res.embedding).reshape(len(imgs), -1)
+    for i, path in enumerate(args.images):
+        rec = {"image": path, "face": bool(valid[i])}
+        if valid[i]:
+            rec.update(score=round(float(score[i]), 4),
+                       crop_bbox=[round(float(v), 1) for v in crops[i]],
+                       dim=int(embs.shape[1]))
+        if demo_weights:
+            rec["demo_weights"] = True   # similarities NOT semantic
+        print(json.dumps(rec))
+    sims = []
+    for i in range(len(imgs)):
+        for j in range(i + 1, len(imgs)):
+            if valid[i] and valid[j]:
+                sims.append({"pair": [args.images[i], args.images[j]],
+                             "cosine_similarity":
+                                 round(float(embs[i] @ embs[j]), 4)})
+    if sims:
+        print(json.dumps({"pairs": sims, "demo_weights": demo_weights}))
+    return 0
+
+
 def cmd_info(args):
     import jax
 
@@ -304,6 +366,23 @@ def main(argv=None):
     p.add_argument("--pixels", action="store_true")
     p.add_argument("--max-faces", type=int, default=1)
     p.set_defaults(fn=cmd_cascade)
+
+    p = sub.add_parser("identify",
+                       help="fused detect->crop->embed batch "
+                            "(EmbedCascade); demo weights unless "
+                            "--embed-model-path points at a real "
+                            "converted model")
+    p.add_argument("images", nargs="+",
+                   help="same-sized input images (one XLA program)")
+    p.add_argument("--model", default="back",
+                   choices=["front", "back", "short", "full",
+                            "full_sparse"])
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--embed-model-path", default=None,
+                   help="directory with a converted "
+                        "face_embeddings.npz (defaults to the "
+                        "synthetic-weight demo graph)")
+    p.set_defaults(fn=cmd_identify)
 
     p = sub.add_parser("info", help="version / backend / models")
     p.set_defaults(fn=cmd_info)

@@ -217,7 +217,7 @@ class _DetectorBase:
 
     @staticmethod
     def _warp_cfg(image_size):
-        """(cw, xload, x_budget): mesh/iris warp block geometry.
+        """(cw, xload, x_budget, rt): mesh/iris warp block geometry.
 
         Huge frames mean huge faces: a 4K close-up face warps at mesh
         ROI scales ~8x the 192 output (and iris scales ~9x the 64),
@@ -226,12 +226,17 @@ class _DetectorBase:
         383 lanes admits ROI scale ~19 (faces to ~2400 px at 4K).  On
         a tall NARROW frame the padded plane width caps the load (the
         kernel clamps xload to it), so the budget honestly shrinks
-        with it instead of over-promising the envelope."""
+        with it instead of over-promising the envelope.
+
+        ``rt`` (output rows per block) trades per-warp strip traffic
+        (blocks x band) against band size — larger tiles mean fewer,
+        taller strips.  8 is the measured optimum while planes are
+        VMEM-resident (<= ~720p; strips are free there)."""
         if max(image_size) > 2560:
             from .ops.pallas_warp import padded_width
             xload = min(512, padded_width(image_size[0]))
-            return 16, xload, xload - 129
-        return 32, 256, 126
+            return 16, xload, xload - 129, 8
+        return 32, 256, 126, 8
 
     @staticmethod
     def _bands(image_size):
@@ -304,7 +309,7 @@ class FaceCascade(_DetectorBase):
         w, h = image_size
         mesh_band, iris_band = self._bands(image_size)
         y_align = self._plane_cfg(image_size)[1]
-        cw, xload, x_budget = self._warp_cfg(image_size)
+        cw, xload, x_budget, rt = self._warp_cfg(image_size)
 
         if face_roi_abs is None:
             # Stage 2: face ROI (face_landmark.rs:180-198); keypoint
@@ -327,10 +332,10 @@ class FaceCascade(_DetectorBase):
                     face_roi_abs, (self.mesh_w, self.mesh_h), False,
                     False)
                 env_ok = env_ok & envelope_ok(mx, my, cw, mesh_band,
-                                              y_align, x_budget)
+                                              y_align, x_budget, rt)
                 (mesh_raw,) = warp_sample_multi(
                     None, [(mx, my)], band=mesh_band, planes=planes,
-                    cw=cw, xload=xload)
+                    cw=cw, xload=xload, rt=rt)
                 mesh_tensor = image_ops._normalize_pixels(
                     mesh_raw, (0.0, 1.0), True)
             else:
@@ -374,27 +379,27 @@ class FaceCascade(_DetectorBase):
                     right_roi, (self.iris_w, self.iris_h), True, True)
                 env_ok = (env_ok
                           & envelope_ok(lx, ly, cw, iris_band,
-                                        y_align, x_budget)
+                                        y_align, x_budget, rt)
                           & envelope_ok(rx, ry, cw, iris_band,
-                                        y_align, x_budget))
-                lt_raw, rt_raw = warp_sample_multi(
+                                        y_align, x_budget, rt))
+                lt_raw, rt_raw2 = warp_sample_multi(
                     None, [(lx, ly), (rx, ry)], band=iris_band,
-                    planes=planes, cw=cw, xload=xload)
+                    planes=planes, cw=cw, xload=xload, rt=rt)
                 lt = image_ops._normalize_pixels(lt_raw, (0.0, 1.0),
                                                  True)
-                rt = image_ops._normalize_pixels(rt_raw, (0.0, 1.0),
-                                                 True)
+                rt2 = image_ops._normalize_pixels(rt_raw2, (0.0, 1.0),
+                                                  True)
             else:
                 lt, lp = image_ops.warp_image_to_tensor(
                     img, left_roi, (self.iris_w, self.iris_h),
                     keep_aspect_ratio=True, output_range=(0.0, 1.0),
                     flip_horizontal=False, method=warp, band=iris_band)
-                rt, rp = image_ops.warp_image_to_tensor(
+                rt2, rp = image_ops.warp_image_to_tensor(
                     img, right_roi, (self.iris_w, self.iris_h),
                     keep_aspect_ratio=True, output_range=(0.0, 1.0),
                     flip_horizontal=True, method=warp, band=iris_band)
         with jax.named_scope("tpu_face.iris"):
-            raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt]))
+            raw_contour, raw_iris = self._iris_net(jnp.stack([lt, rt2]))
 
         def project_eye(raw, roi_abs, pad, flip):
             return post.project_landmarks(
