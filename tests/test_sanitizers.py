@@ -29,6 +29,53 @@ def test_cascade_under_debug_nans():
         jax.config.update("jax_debug_nans", False)
 
 
+def test_embed_cascade_under_debug_nans():
+    """The fused identification pipeline is NaN-free under
+    jax_debug_nans even for its garbage invalid-slot crops (the
+    eps-guarded L2 norm)."""
+    import jax
+
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import EmbedCascade
+
+    from pathlib import Path
+
+    import tpu_face
+    demo = Path(tpu_face.__file__).parent / "data" / "demo"
+    jax.config.update("jax_debug_nans", True)
+    try:
+        cascade = EmbedCascade(FaceDetectionModel.SHORT, max_faces=2,
+                               embed_model_path=str(demo))
+        # a blank frame: every slot invalid, crops degenerate
+        res = cascade.infer_batch(np.zeros((1, 240, 320, 3), np.uint8))
+        assert not np.asarray(res.face_valid).any()
+        assert np.isfinite(np.asarray(res.embedding)).all()
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_tracker_repair_under_debug_nans():
+    """One tracked + repaired step (dummy-ROI streams included) stays
+    NaN-free under jax_debug_nans."""
+    import jax
+
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.tracking import FaceTracker
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    frames = np.stack([img, img])
+    jax.config.update("jax_debug_nans", True)
+    try:
+        tracker = FaceTracker(FaceDetectionModel.SHORT, repair_batch=1)
+        tracker.step(frames)                       # full path
+        res = tracker.step(np.stack([img, np.zeros_like(img)]))
+        valid = np.asarray(res.mesh_valid)
+        assert bool(valid[0]) and not bool(valid[1])
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
 def test_profiling_stage_disabled_is_noop():
     from tpu_face.utils import profiling
 
