@@ -268,7 +268,10 @@ def main():
                 return acc + jnp.sum(rr.score) * 0.0
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        k = 50
+        # k large enough that the +-RTT-variance of the single window
+        # fetch (2-45 ms between sessions, docs/PERF.md) contributes
+        # <0.1 ms/call of error
+        k = 200
         rtts = []
         for i in range(5):
             # a FRESH tiny device value each probe: fetching the same

@@ -230,27 +230,49 @@ class _DetectorBase:
 
         ``rt`` (output rows per block) trades per-warp strip traffic
         (blocks x band) against band size — larger tiles mean fewer,
-        taller strips.  8 is the measured optimum while planes are
-        VMEM-resident (<= ~720p; strips are free there)."""
+        taller strips.  8 is right while planes are VMEM-resident
+        (<= ~720p; strips are free there); in HBM strip-DMA mode rt=16
+        halves the block count for a sub-2x band and measured +8-12%
+        full-cascade fps at 1080p (tools/tpu_1080p_rt_probe.py:
+        2,685 -> ~3,000).  The >2560 wide-window tier keeps rt=8 until
+        probed separately."""
+        from .ops.pallas_warp import padded_width, planes_fit_vmem
+        w, h = image_size
         if max(image_size) > 2560:
-            from .ops.pallas_warp import padded_width
-            xload = min(512, padded_width(image_size[0]))
+            xload = min(512, padded_width(w))
             return 16, xload, xload - 129, 8
-        return 32, 256, 126, 8
+        if planes_fit_vmem(h, w):
+            return 32, 256, 126, 8
+        return 32, 256, 126, 16
 
     @staticmethod
     def _bands(image_size):
         """Static warp band sizes scaled to the frame: faces (and so
         ROIs) grow with the frame, and the band must cover
-        8*roi_h/out_h source rows per tile plus rotation shear.  The
+        rt*roi_h/out_h source rows per tile plus rotation shear.  The
         cap rises with the frame for the same close-up-face reason as
-        _warp_cfg's x window."""
+        _warp_cfg's x window.
+
+        The strips tier (beyond VMEM residency, <= 2560 px) pairs with
+        rt=16 (_warp_cfg): bands scale with the SHORT frame side (a
+        fully-visible face is bounded by it) so a rot-0 full-height
+        face ROI (1.5 x min dim) stays inside the envelope at every
+        size; high-rotation near-full-frame faces may flag
+        envelope_ok=False ~18% earlier than the rt=8 config did at
+        1080p (and later at 1440p+, where the old fixed 128 band was
+        the binding limit)."""
+        from .ops.pallas_warp import planes_fit_vmem
+        w, h = image_size
         maxdim = max(image_size)
         cap = 192 if maxdim > 2560 else 128
 
-        def clamp8(v, lo):
+        def clamp8(v, lo, cap=cap):
             return min(cap, max(lo, -(-v // 8) * 8))
 
+        if maxdim <= 2560 and not planes_fit_vmem(h, w):
+            mind = min(image_size)
+            return (clamp8(mind // 7, 96, 224),
+                    clamp8(mind // 10, 64, 128))
         return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
 
 
