@@ -34,6 +34,30 @@ def test_planar_cascade_matches_hwc(warp):
     assert bool(out_p.mesh_valid[0])
 
 
+def test_planar_embed_cascade_matches_hwc():
+    """EmbedCascade consumes decoder-emitted channel planes too (the
+    demo embeddings graph is bundled, so no generation needed)."""
+    from pathlib import Path
+
+    import tpu_face
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import EmbedCascade
+
+    demo = str(Path(tpu_face.__file__).parent / "data" / "demo")
+    img = load_image(MAN)
+    hwc = img[None]
+    planar = np.ascontiguousarray(hwc.transpose(0, 3, 1, 2))
+    out_h = EmbedCascade(FaceDetectionModel.SHORT,
+                         embed_model_path=demo).infer_batch(hwc)
+    out_p = EmbedCascade(FaceDetectionModel.SHORT, embed_model_path=demo,
+                         input_layout="planar").infer_batch(planar)
+    assert bool(np.asarray(out_h.face_valid)[0])
+    np.testing.assert_array_equal(np.asarray(out_h.crop_bbox),
+                                  np.asarray(out_p.crop_bbox))
+    np.testing.assert_allclose(np.asarray(out_h.embedding),
+                               np.asarray(out_p.embedding), atol=1e-5)
+
+
 def test_planar_decode_matches_interleaved():
     from tpu_face.utils import native_loader
 
