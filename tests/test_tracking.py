@@ -94,6 +94,24 @@ def test_tracker_churn_repair(video):
         assert valid[others].all(), (step, valid)
 
 
+def test_tracker_step_lowers_real_conditionals():
+    """The detector skip is a genuine HLO conditional, not masking:
+    the lowered step contains both branch points (full-vs-tracked and
+    the repair gate), so the detector CNN truly does not execute while
+    streams stay locked."""
+    import jax
+
+    tracker = FaceTracker(FaceDetectionModel.SHORT, repair_batch=1)
+    fn = tracker._get_jitted((360, 540))
+    args = (jax.ShapeDtypeStruct((2, 360, 540, 3), np.uint8),
+            jax.ShapeDtypeStruct((2, 5), np.float32),
+            jax.ShapeDtypeStruct((2,), np.bool_),
+            jax.ShapeDtypeStruct((), np.bool_))
+    text = fn.lower(*args).as_text()
+    n_cond = text.count("stablehlo.case") + text.count("stablehlo.if")
+    assert n_cond >= 2, n_cond
+
+
 def test_tracker_mass_loss_full_path(video):
     """More simultaneous losses than the repair batch: the step falls
     back to full detection for everyone and recovers the whole batch

@@ -254,13 +254,14 @@ class _DetectorBase:
         _warp_cfg's x window.
 
         The strips tier (beyond VMEM residency, <= 2560 px) pairs with
-        rt=16 (_warp_cfg): bands scale with the SHORT frame side (a
-        fully-visible face is bounded by it) so a rot-0 full-height
-        face ROI (1.5 x min dim) stays inside the envelope at every
-        size; high-rotation near-full-frame faces may flag
-        envelope_ok=False ~18% earlier than the rt=8 config did at
-        1080p (and later at 1440p+, where the old fixed 128 band was
-        the binding limit)."""
+        rt=16 (_warp_cfg) and uses CONSTANT bands: the rolled 128-lane
+        x-window already caps the feasible ROI scale frame-
+        independently (x_ext = (cw cos + rt sin) * rh/out <= 124 =>
+        ROI <= ~4x the output at rot 0), so the band only has to cover
+        the y-extent of x-FEASIBLE ROIs.  Band 144 covers every
+        x-feasible ROI up to ~46 deg rotation — the same crossover the
+        old rt=8/band-128 config had (~45-50 deg); beyond it both
+        configs flag via envelope_ok."""
         from .ops.pallas_warp import planes_fit_vmem
         w, h = image_size
         maxdim = max(image_size)
@@ -270,9 +271,7 @@ class _DetectorBase:
             return min(cap, max(lo, -(-v // 8) * 8))
 
         if maxdim <= 2560 and not planes_fit_vmem(h, w):
-            mind = min(image_size)
-            return (clamp8(mind // 7, 96, 224),
-                    clamp8(mind // 10, 64, 128))
+            return 144, 144
         return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
 
 
