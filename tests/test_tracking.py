@@ -94,6 +94,33 @@ def test_tracker_churn_repair(video):
         assert valid[others].all(), (step, valid)
 
 
+def test_unrepaired_lost_stream_not_phantom_valid(video):
+    """A lost stream beyond the repair budget must NOT surface
+    face_valid=True / score=1.0 from its dummy-ROI tracked pass
+    (round-3 review finding)."""
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                          repair_batch=1)
+    b = 4
+    frames = np.stack([video[i % len(video)] for i in range(b)])
+    tracker.step(frames)
+    assert tracker.tracking.all()
+    cur = frames.copy()
+    cur[3] = 0                      # stream 3 lost (repaired, fails)
+    tracker.step(cur)
+    # stream 3 enters invalid AND stream 0 goes dark mid-step; the
+    # single repair slot goes to stream 0 (stable argsort), leaving
+    # stream 3 on the dummy-ROI tracked path
+    cur = frames.copy()
+    cur[0] = 0
+    res = tracker.step(cur)
+    fv = np.asarray(res.face_valid)
+    sc = np.asarray(res.score)
+    mv = np.asarray(res.mesh_valid)
+    assert not fv[3] and sc[3] < 0.5 and not mv[3]
+    assert not fv[0] and not mv[0]  # dark frame: detection fails
+    assert fv[1] and fv[2] and mv[1] and mv[2]
+
+
 def test_tracker_step_lowers_real_conditionals():
     """The detector skip is a genuine HLO conditional, not masking:
     the lowered step contains both branch points (full-vs-tracked and

@@ -94,9 +94,36 @@ def _bbox_to_roi_abs(xmin, ymin, xmax, ymax, kp0, kp1, scale, w, h):
 
 class _DetectorBase:
     """Shared detection front-end of the fused pipelines: model
-    loading, per-frame plane preparation, and the whole-image
-    detect+NMS stage.  ``FaceCascade`` adds the mesh/iris stages,
-    ``EmbedCascade`` the crop+embed stage."""
+    loading, per-frame plane preparation, the whole-image detect+NMS
+    stage, and the batched host API (``__call__`` / ``infer_batch``
+    over a per-geometry jit cache).  ``FaceCascade`` adds the
+    mesh/iris stages, ``EmbedCascade`` the crop+embed stage — each
+    defines ``_single`` and a ``_profile_label``."""
+
+    _profile_label = "cascade.infer_batch"
+
+    def _get_jitted(self, h, w):
+        key = (h, w)
+        if key not in self._jitted:
+            fn = partial(self._single, image_size=(w, h))
+            self._jitted[key] = jax.jit(jax.vmap(fn))
+        return self._jitted[key]
+
+    def __call__(self, images: jnp.ndarray):
+        if self._layout == "planar":
+            _, _, h, w = images.shape
+        else:
+            _, h, w, _ = images.shape
+        return self._get_jitted(h, w)(images)
+
+    def infer_batch(self, images):
+        from .utils import profiling
+
+        with profiling.stage(self._profile_label):
+            images = jnp.asarray(images)
+            if images.ndim == 3:
+                images = images[None]
+            return self(images)
 
     def _init_detection(self, detection_model, model_path, compute_dtype,
                         warp_method, max_faces, nms_top_m, input_layout):
@@ -457,30 +484,8 @@ class FaceCascade(_DetectorBase):
             envelope_ok=env_ok,
         )
 
-    # ---- batched API ---------------------------------------------------
-
-    def _get_jitted(self, h, w):
-        key = (h, w)
-        if key not in self._jitted:
-            fn = partial(self._single, image_size=(w, h))
-            self._jitted[key] = jax.jit(jax.vmap(fn))
-        return self._jitted[key]
-
-    def __call__(self, images: jnp.ndarray) -> CascadeResult:
-        if self._layout == "planar":
-            _, _, h, w = images.shape
-        else:
-            _, h, w, _ = images.shape
-        return self._get_jitted(h, w)(images)
-
-    def infer_batch(self, images) -> CascadeResult:
-        from .utils import profiling
-
-        with profiling.stage("cascade.infer_batch"):
-            images = jnp.asarray(images)
-            if images.ndim == 3:
-                images = images[None]
-            return self(images)
+    # batched API (__call__ / infer_batch): inherited from
+    # _DetectorBase; returns CascadeResult
 
 
 class EmbedResult(NamedTuple):
@@ -593,25 +598,6 @@ class EmbedCascade(_DetectorBase):
                                              image_size, warp))(
                                                  dets, out_s, out_v)
 
-    def _get_jitted(self, h, w):
-        key = (h, w)
-        if key not in self._jitted:
-            fn = partial(self._single, image_size=(w, h))
-            self._jitted[key] = jax.jit(jax.vmap(fn))
-        return self._jitted[key]
-
-    def __call__(self, images: jnp.ndarray) -> EmbedResult:
-        if self._layout == "planar":
-            _, _, h, w = images.shape
-        else:
-            _, h, w, _ = images.shape
-        return self._get_jitted(h, w)(images)
-
-    def infer_batch(self, images) -> EmbedResult:
-        from .utils import profiling
-
-        with profiling.stage("embed_cascade.infer_batch"):
-            images = jnp.asarray(images)
-            if images.ndim == 3:
-                images = images[None]
-            return self(images)
+    # batched API (__call__ / infer_batch): inherited from
+    # _DetectorBase; returns EmbedResult
+    _profile_label = "embed_cascade.infer_batch"

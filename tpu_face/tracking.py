@@ -105,8 +105,13 @@ class FaceTracker:
 
     # ---- jitted step -----------------------------------------------------
 
-    def _tracked_single(self, image, roi_abs, image_size):
-        """Mesh+iris stages only, from a landmark-derived ROI."""
+    def _tracked_single(self, image, roi_abs, valid, image_size):
+        """Mesh+iris stages only, from a landmark-derived ROI.
+
+        ``valid`` (the stream's entry lock state) flows into
+        face_valid/score — a stream without a usable ROI runs on a
+        dummy ROI for shape purposes and must NOT surface as a valid
+        face if the bounded repair sub-batch does not get to it."""
         c = self.cascade
         warp = c._warp
         # plane build + planar handling shared with the full cascade
@@ -122,7 +127,7 @@ class FaceTracker:
             (center - half)[None], (center + half)[None],
             jnp.zeros((6, 2), jnp.float32)])
         return c._face_stages(img, planes, det,
-                              jnp.float32(1.0), jnp.asarray(True),
+                              valid.astype(jnp.float32), valid,
                               image_size, warp, face_roi_abs=roi_abs)
 
     def _step_fn(self, images, roi, valid, force_detect, image_size):
@@ -143,8 +148,9 @@ class FaceTracker:
                               jnp.float32)
             safe = jnp.where(valid[:, None], roi, dummy)
             res = jax.vmap(
-                lambda im, rr: self._tracked_single(im, rr, image_size)
-            )(images, safe)
+                lambda im, rr, v: self._tracked_single(im, rr, v,
+                                                       image_size)
+            )(images, safe, valid)
             # unusable tracked output: no entry ROI, or presence lost
             lost = jnp.logical_not(valid & res.mesh_valid)
 
