@@ -317,4 +317,4 @@ def test_warp_cfg_narrow_tall_frame_budget():
     cw, xload, x_budget, rt = FaceCascade._warp_cfg((2160, 3840))
     assert xload == 512 and x_budget == 383
     cw, xload, x_budget, rt = FaceCascade._warp_cfg((540, 360))
-    assert (cw, xload, x_budget, rt) == (32, 256, 126, 8)
+    assert (cw, xload, x_budget, rt) == (32, 256, 126, 16)

@@ -257,19 +257,21 @@ class _DetectorBase:
 
         ``rt`` (output rows per block) trades per-warp strip traffic
         (blocks x band) against band size — larger tiles mean fewer,
-        taller strips.  8 is right while planes are VMEM-resident
-        (<= ~720p; strips are free there); in HBM strip-DMA mode rt=16
-        halves the block count for a sub-2x band and measured +8-12%
-        full-cascade fps at 1080p (tools/tpu_1080p_rt_probe.py:
-        2,685 -> ~3,000).  The >2560 wide-window tier keeps rt=8 until
-        probed separately."""
-        from .ops.pallas_warp import padded_width, planes_fit_vmem
+        taller strips, and their rt*|dy/dv| shear term shrinks the
+        x-envelope a little at nonzero rotation.  rt=16 wins both
+        tiers: +4% full-cascade at 540p resident
+        (tools/tpu_540p_rt_probe.py: 6,664 -> 6,935; rt=32 is faster
+        still but its shear cuts the rot>=15deg envelope ~20%, not
+        taken) and +9% at 1080p strips
+        (tools/tpu_1080p_rt_probe.py: 2,685 -> ~2,950).  The >2560
+        wide-window tier keeps rt=8 (coverage-preserving rt16 is a
+        wash there — iris bands grow exactly linearly in rt,
+        tools/tpu_4k_rt_probe.py)."""
+        from .ops.pallas_warp import padded_width
         w, h = image_size
         if max(image_size) > 2560:
             xload = min(512, padded_width(w))
             return 16, xload, xload - 129, 8
-        if planes_fit_vmem(h, w):
-            return 32, 256, 126, 8
         return 32, 256, 126, 16
 
     @staticmethod
@@ -280,26 +282,35 @@ class _DetectorBase:
         cap rises with the frame for the same close-up-face reason as
         _warp_cfg's x window.
 
-        The strips tier (beyond VMEM residency, <= 2560 px) pairs with
-        rt=16 (_warp_cfg) and uses CONSTANT bands: the rolled 128-lane
-        x-window already caps the feasible ROI scale frame-
+        Both <= 2560 tiers pair with rt=16 (_warp_cfg).  The rolled
+        128-lane x-window caps the feasible ROI scale frame-
         independently (x_ext = (cw cos + rt sin) * rh/out <= 124 =>
-        ROI <= ~4x the output at rot 0), so the band only has to cover
-        the y-extent of x-FEASIBLE ROIs.  Band 144 covers every
-        x-feasible ROI up to ~46 deg rotation — the same crossover the
-        old rt=8/band-128 config had (~45-50 deg); beyond it both
-        configs flag via envelope_ok."""
+        ROI <= ~4x the output at rot 0), so bands only have to cover
+        the y-extent of x-FEASIBLE ROIs:
+
+        * resident (<= ~720p): mesh 96 (growing to 136 near the
+          residency edge where full-frame ROIs approach the x-cap),
+          iris 72 — at least the rt=8/64/48 envelope at every
+          rotation except a <=3% sliver near 7 deg, and larger
+          beyond 15 deg (tools/tpu_540p_rt_probe.py).
+        * strips (to 2560): constant 144/144 (bf16 planes add 15 rows
+          of alignment slack); covers every x-feasible ROI to ~46 deg
+          rotation, the same crossover the old rt=8/128 config had.
+
+        The >2560 tier keeps the rt=8 maxdim-scaled bands."""
         from .ops.pallas_warp import planes_fit_vmem
         w, h = image_size
         maxdim = max(image_size)
-        cap = 192 if maxdim > 2560 else 128
 
-        def clamp8(v, lo, cap=cap):
+        def clamp8(v, lo, cap):
             return min(cap, max(lo, -(-v // 8) * 8))
 
-        if maxdim <= 2560 and not planes_fit_vmem(h, w):
-            return 144, 144
-        return clamp8(maxdim // 12, 64), clamp8(maxdim // 12, 32)
+        if maxdim > 2560:
+            return (clamp8(maxdim // 12, 64, 192),
+                    clamp8(maxdim // 12, 32, 192))
+        if planes_fit_vmem(h, w):
+            return clamp8(maxdim // 8, 96, 136), 72
+        return 144, 144
 
 
 class FaceCascade(_DetectorBase):
