@@ -306,6 +306,26 @@ def test_standalone_mesh_4k_roi_uses_wide_window():
     assert d <= 2.0, d
 
 
+def test_warp_cfg_and_band_tiers():
+    """The three warp-config tiers are deliberate, probe-backed
+    choices (tools/tpu_540p_rt_probe.py, tpu_1080p_rt_probe.py,
+    tpu_4k_rt_probe.py) — changing them must be a conscious act."""
+    from tpu_face.pipeline import FaceCascade
+
+    # VMEM-resident (540p): rt16, bands 96/72
+    assert FaceCascade._warp_cfg((540, 360)) == (32, 256, 126, 16)
+    assert FaceCascade._bands((540, 360)) == (96, 72)
+    # residency edge (720p): mesh band grows toward 136
+    assert FaceCascade._bands((1280, 720)) == (136, 72)
+    # HBM strips (1080p): rt16, constant 144 (x-envelope-matched)
+    assert FaceCascade._warp_cfg((1920, 1080)) == (32, 256, 126, 16)
+    assert FaceCascade._bands((1920, 1080)) == (144, 144)
+    # >2560 wide-window tier: rt8, maxdim-scaled bands
+    cw, xload, xb, rt = FaceCascade._warp_cfg((3840, 2160))
+    assert (cw, xload, rt) == (16, 512, 8)
+    assert FaceCascade._bands((3840, 2160)) == (192, 192)
+
+
 def test_warp_cfg_narrow_tall_frame_budget():
     """A >2560-px-tall but narrow frame cannot load 512 lanes; the
     cascade's warp config must shrink the x-budget with the padded
