@@ -73,6 +73,37 @@ def test_embeddings_empty_bbox(model_dir):
         emb.infer(MAN, BBox(10.0, 10.0, 10.0, 50.0))
 
 
+def test_embed_boxes_matches_infer(model_dir):
+    """embed_boxes (device-resident detection boxes, traced crop)
+    reproduces infer's host-path crop for the same box."""
+    from tpu_face.utils.image_io import load_image
+
+    emb = FaceEmbeddings(model_path=model_dir)
+    img = load_image(MAN)
+    h, w = img.shape[:2]
+    # fractional coords: integer-valued ones can truncate differently
+    # after the f32 normalize/denormalize round trip (the box API is
+    # normalized; exact-integer edges are knife-edge by construction)
+    bbox = BBox(120.3, 60.3, 320.7, 260.7)
+    want = emb.infer(img, bbox)
+    box = np.array([[[bbox.xmin / w, bbox.ymin / h],
+                     [bbox.xmax / w, bbox.ymax / h]]], np.float32)
+    got = emb.embed_boxes(img[None], box)
+    assert got.shape == (1,) + want.shape
+    # vmapped conv lowering reassociates vs the single-image
+    # program: small float noise on a unit vector
+    np.testing.assert_allclose(got[0], want, atol=2e-4)
+    # face-axis variant: [B, K, 2, 2] -> [B, K, D], finite even for a
+    # degenerate box (eps-guarded norm)
+    boxes_k = np.concatenate([box[:, None],
+                              np.zeros((1, 1, 2, 2), np.float32)],
+                             axis=1)
+    out = emb.embed_boxes(img[None], boxes_k)
+    assert out.shape == (1, 2) + want.shape
+    np.testing.assert_allclose(out[0, 0], want, atol=2e-4)
+    assert np.isfinite(out).all()
+
+
 def test_feature_count_enum():
     assert FeatureCount.FEATURE_128 == 128
     assert FeatureCount.FEATURE_512 == 512

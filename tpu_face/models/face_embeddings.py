@@ -90,7 +90,11 @@ class FaceEmbeddings:
                     else self._warp))
         (raw,) = self._net(tensor[None])
         flat = raw.reshape(-1)
-        return flat / jnp.sqrt(jnp.sum(jnp.square(flat)))
+        # eps keeps degenerate crops NaN-free (utils.rs:30-33 divides
+        # unguarded; real embeddings have norm orders beyond eps, so
+        # this is bit-invisible on valid inputs)
+        return flat * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(jnp.square(flat)), 1e-12))
 
     def _get_jitted(self, h, w):
         key = (h, w)
@@ -141,3 +145,40 @@ class FaceEmbeddings:
             self._jitted[key] = jax.jit(jax.vmap(self._pipeline))
         out = self._jitted[key](jnp.asarray(images), jnp.asarray(rois))
         return np.asarray(out)
+
+    def embed_boxes(self, images, boxes) -> np.ndarray:
+        """Embed DEVICE-RESIDENT detection boxes without a host round
+        trip of the coordinates — the video-identification hand-off:
+
+        >>> res = tracker.step(frames)              # CascadeResult
+        >>> embs = emb.embed_boxes(frames, res.detection[..., :2, :])
+
+        ``images``: [B, H, W, 3] (host or device); ``boxes``: [B, 2, 2]
+        or [B, K, 2, 2] normalized corner rows (Detection layout), or
+        trailing shape (4,).  The crop uses the same traced
+        int-truncate + frame-intersect semantics as
+        ``pipeline.EmbedCascade`` (ops/geometry.
+        crop_roi_from_detection); invalid/degenerate boxes produce
+        finite garbage — mask with the caller's validity flags.
+        Returns [B, D] (or [B, K, D])."""
+        from ..ops.geometry import crop_roi_from_detection
+
+        if not hasattr(images, "shape"):
+            images = np.asarray(images)
+        b, h, w = images.shape[:3]
+        boxes = jnp.asarray(boxes)
+        if boxes.shape[-1] == 4:
+            boxes = boxes.reshape(boxes.shape[:-1] + (2, 2))
+        faces_axis = boxes.ndim == 4
+        key = ("boxes", h, w, faces_axis)
+        if key not in self._jitted:
+            def one(img, box):
+                roi_abs, _ = crop_roi_from_detection(
+                    box.astype(jnp.float32), (w, h), xp=jnp)
+                return self._pipeline(img, roi_abs)
+
+            fn = (jax.vmap(lambda im, bk:
+                           jax.vmap(lambda bx: one(im, bx))(bk))
+                  if faces_axis else jax.vmap(one))
+            self._jitted[key] = jax.jit(fn)
+        return np.asarray(self._jitted[key](jnp.asarray(images), boxes))

@@ -81,3 +81,28 @@ def roi_to_abs(roi, image_size: Tuple[int, int], xp=np):
                      xp.asarray(rw * w, dtype=xp.float32),
                      xp.asarray(rh * h, dtype=xp.float32),
                      xp.asarray(rot, dtype=xp.float32)])
+
+
+def crop_roi_from_detection(box, image_size: Tuple[int, int], xp=np):
+    """Detection corner rows -> the reference's int-truncated
+    axis-aligned crop rect, intersected with the frame.
+
+    ``box`` is [2, 2] normalized ((xmin, ymin), (xmax, ymax)) — the
+    first two rows of a Detection.  Reference semantics
+    face_embeddings.rs:101-109: int() of xmin/ymin and of the float
+    width/height; the frame intersection is ours (Mat::roi would
+    error out of bounds).  Traced-friendly (xp=jnp): degenerate boxes
+    clamp to a 1-px crop instead of failing.  Returns
+    (roi_abs (5,), crop_bbox (4,) = (x0, y0, x1, y1) absolute)."""
+    w, h = image_size
+    x = xp.trunc(box[0, 0] * w)
+    y = xp.trunc(box[0, 1] * h)
+    cw = xp.trunc((box[1, 0] - box[0, 0]) * w)
+    ch = xp.trunc((box[1, 1] - box[0, 1]) * h)
+    x0 = xp.clip(x, 0.0, w - 1.0)
+    y0 = xp.clip(y, 0.0, h - 1.0)
+    x1 = xp.clip(x + cw, x0 + 1.0, float(w))
+    y1 = xp.clip(y + ch, y0 + 1.0, float(h))
+    roi_abs = xp.stack([(x0 + x1) / 2.0, (y0 + y1) / 2.0,
+                        x1 - x0, y1 - y0, xp.zeros(())])
+    return roi_abs, xp.stack([x0, y0, x1, y1])

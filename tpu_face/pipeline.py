@@ -556,20 +556,12 @@ class EmbedCascade(_DetectorBase):
                     image_size, warp):
         """Crop + embed for one detected face (vmapped when
         ``max_faces > 1``)."""
-        w, h = image_size
-        # int-truncated crop rect (face_embeddings.rs:101-109: int() of
-        # bbox.xmin/ymin and of the float width/height), intersected
-        # with the frame so edge faces stay in-bounds
-        x = jnp.trunc(det[0, 0] * w)
-        y = jnp.trunc(det[0, 1] * h)
-        cw = jnp.trunc((det[1, 0] - det[0, 0]) * w)
-        ch = jnp.trunc((det[1, 1] - det[0, 1]) * h)
-        x0 = jnp.clip(x, 0.0, w - 1.0)
-        y0 = jnp.clip(y, 0.0, h - 1.0)
-        x1 = jnp.clip(x + cw, x0 + 1.0, float(w))
-        y1 = jnp.clip(y + ch, y0 + 1.0, float(h))
-        roi_abs = jnp.stack([(x0 + x1) / 2.0, (y0 + y1) / 2.0,
-                             x1 - x0, y1 - y0, jnp.float32(0.0)])
+        from .ops.geometry import crop_roi_from_detection
+
+        # int-truncated crop rect (face_embeddings.rs:101-109),
+        # intersected with the frame so edge faces stay in-bounds
+        roi_abs, crop_bbox = crop_roi_from_detection(
+            det[:2].astype(jnp.float32), image_size, xp=jnp)
 
         with jax.named_scope("tpu_face.embed_crop"):
             if warp == "pallas":
@@ -594,7 +586,7 @@ class EmbedCascade(_DetectorBase):
                 jnp.maximum(jnp.sum(jnp.square(flat)), 1e-12))
         return EmbedResult(
             detection=det, score=score, face_valid=face_valid,
-            crop_bbox=jnp.stack([x0, y0, x1, y1]), embedding=emb)
+            crop_bbox=crop_bbox, embedding=emb)
 
     def _single(self, image, image_size):
         warp = self._warp
