@@ -146,7 +146,7 @@ class FaceEmbeddings:
         out = self._jitted[key](jnp.asarray(images), jnp.asarray(rois))
         return np.asarray(out)
 
-    def embed_boxes(self, images, boxes) -> np.ndarray:
+    def embed_boxes(self, images, boxes, as_numpy: bool = True):
         """Embed DEVICE-RESIDENT detection boxes without a host round
         trip of the coordinates — the video-identification hand-off:
 
@@ -160,7 +160,9 @@ class FaceEmbeddings:
         ``pipeline.EmbedCascade`` (ops/geometry.
         crop_roi_from_detection); invalid/degenerate boxes produce
         finite garbage — mask with the caller's validity flags.
-        Returns [B, D] (or [B, K, D])."""
+        Returns [B, D] (or [B, K, D]); ``as_numpy=False`` keeps the
+        result on device (serving loops that feed a gallery matmul
+        next shouldn't pay a host round trip per step)."""
         from ..ops.geometry import crop_roi_from_detection
 
         if not hasattr(images, "shape"):
@@ -181,4 +183,5 @@ class FaceEmbeddings:
                            jax.vmap(lambda bx: one(im, bx))(bk))
                   if faces_axis else jax.vmap(one))
             self._jitted[key] = jax.jit(fn)
-        return np.asarray(self._jitted[key](jnp.asarray(images), boxes))
+        out = self._jitted[key](jnp.asarray(images), boxes)
+        return np.asarray(out) if as_numpy else out
