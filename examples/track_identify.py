@@ -41,8 +41,10 @@ def main():
     for i, frame in enumerate(frames):
         res = tracker.step(frame[None])
         valid = bool(np.asarray(res.mesh_valid)[0])
-        vec = emb.embed_boxes(frame[None],
-                              res.detection[:, :2, :])[0]
+        # mesh-derived crops: tight and CONSISTENT across detect and
+        # tracked frames (on tracked frames the detection rows carry
+        # the previous frame's 1.5x mesh ROI, not a tight bbox)
+        vec = emb.embed_boxes(frame[None], res.mesh)[0]
         drift = "" if prev is None else \
             f"  cos(prev)={float(vec @ prev):+.4f}"
         mode = "tracked" if i else "detect "

@@ -104,6 +104,44 @@ def test_embed_boxes_matches_infer(model_dir):
     assert np.isfinite(out).all()
 
 
+def test_embed_boxes_mesh_planar_and_validation(model_dir):
+    """Landmark-set input reduces to the tight bbox inside the
+    program; planar frames are accepted; clear errors on shape
+    mismatches."""
+    from tpu_face.utils.image_io import load_image
+
+    emb = FaceEmbeddings(model_path=model_dir)
+    img = load_image(MAN)
+    h, w = img.shape[:2]
+    bbox = BBox(120.3, 60.3, 320.7, 260.7)
+    box = np.array([[[bbox.xmin / w, bbox.ymin / h],
+                     [bbox.xmax / w, bbox.ymax / h]]], np.float32)
+    want = emb.embed_boxes(img[None], box)[0]
+
+    # a landmark set whose bounds ARE that box -> same crop
+    rng = np.random.default_rng(4)
+    inner = rng.uniform(0.3, 0.7, size=(1, 6, 3)).astype(np.float32)
+    lms = inner * np.array([[(bbox.xmax - bbox.xmin) / w,
+                             (bbox.ymax - bbox.ymin) / h, 1.0]],
+                           np.float32)
+    lms[..., 0] += bbox.xmin / w
+    lms[..., 1] += bbox.ymin / h
+    lms[0, 0, :2] = (bbox.xmin / w, bbox.ymin / h)
+    lms[0, 1, :2] = (bbox.xmax / w, bbox.ymax / h)
+    got = emb.embed_boxes(img[None], lms)
+    np.testing.assert_allclose(got[0], want, atol=2e-4)
+
+    # planar frames produce the same embedding
+    planar = np.ascontiguousarray(img[None].transpose(0, 3, 1, 2))
+    got_p = emb.embed_boxes(planar, box, layout="planar")
+    np.testing.assert_allclose(got_p[0], want, atol=2e-4)
+
+    with pytest.raises(ValueError, match="box rows"):
+        emb.embed_boxes(np.stack([img, img]), box)
+    with pytest.raises(ValueError, match="images must be"):
+        emb.embed_boxes(planar, box)     # planar without layout=
+
+
 def test_feature_count_enum():
     assert FeatureCount.FEATURE_128 == 128
     assert FeatureCount.FEATURE_512 == 512

@@ -146,16 +146,30 @@ class FaceEmbeddings:
         out = self._jitted[key](jnp.asarray(images), jnp.asarray(rois))
         return np.asarray(out)
 
-    def embed_boxes(self, images, boxes, as_numpy: bool = True):
-        """Embed DEVICE-RESIDENT detection boxes without a host round
-        trip of the coordinates — the video-identification hand-off:
+    def embed_boxes(self, images, boxes, as_numpy: bool = True,
+                    layout: str = "hwc"):
+        """Embed DEVICE-RESIDENT boxes or landmark sets without a host
+        round trip of the coordinates — the video-identification
+        hand-off:
 
         >>> res = tracker.step(frames)              # CascadeResult
-        >>> embs = emb.embed_boxes(frames, res.detection[..., :2, :])
+        >>> embs = emb.embed_boxes(frames, res.mesh)
 
-        ``images``: [B, H, W, 3] (host or device); ``boxes``: [B, 2, 2]
-        or [B, K, 2, 2] normalized corner rows (Detection layout), or
-        trailing shape (4,).  The crop uses the same traced
+        ``boxes`` accepts, per image (with an optional face axis K):
+        * ``[..., 2, 2]`` normalized corner rows / ``[..., 4]`` —
+          a detection-style bbox (Detection layout rows 0-1);
+        * ``[..., N>=3, 3]`` normalized landmarks (e.g. the 468-point
+          mesh) — the tight landmark bounding box is reduced INSIDE
+          the jitted program.  This is the right video hand-off: on
+          TRACKED frames ``res.detection[:2]`` carries the previous
+          frame's 1.5x-scaled square mesh ROI, not a tight face bbox,
+          so mesh-derived boxes are the crops that stay consistent
+          with `infer`/`EmbedCascade`-style tight crops across
+          detect and tracked frames.
+
+        ``images``: [B, H, W, 3], or [B, 3, H, W] with
+        ``layout="planar"`` (the native-decoder fast path; the
+        transpose happens on device).  The crop uses the same traced
         int-truncate + frame-intersect semantics as
         ``pipeline.EmbedCascade`` (ops/geometry.
         crop_roi_from_detection); invalid/degenerate boxes produce
@@ -167,16 +181,36 @@ class FaceEmbeddings:
 
         if not hasattr(images, "shape"):
             images = np.asarray(images)
-        b, h, w = images.shape[:3]
+        if layout not in ("hwc", "planar"):
+            raise ValueError(f"layout must be hwc|planar, got {layout}")
+        if images.ndim != 4 or images.shape[1 if layout == "planar"
+                                            else 3] != 3:
+            raise ValueError(
+                f"images must be [B, H, W, 3] (or [B, 3, H, W] with "
+                f"layout='planar'), got {images.shape}")
+        if layout == "planar":
+            b, _, h, w = images.shape
+        else:
+            b, h, w = images.shape[:3]
         boxes = jnp.asarray(boxes)
-        if boxes.shape[-1] == 4:
+        from_mesh = boxes.ndim >= 2 and boxes.shape[-1] == 3 \
+            and boxes.shape[-2] > 2
+        if not from_mesh and boxes.shape[-1] == 4:
             boxes = boxes.reshape(boxes.shape[:-1] + (2, 2))
+        if boxes.shape[0] != b:
+            raise ValueError(f"{b} images but {boxes.shape[0]} box "
+                             f"rows (leading dims must agree)")
         faces_axis = boxes.ndim == 4
-        key = ("boxes", h, w, faces_axis)
+        key = ("boxes", h, w, faces_axis, from_mesh, layout)
         if key not in self._jitted:
-            def one(img, box):
-                roi_abs, _ = crop_roi_from_detection(
-                    box.astype(jnp.float32), (w, h), xp=jnp)
+            def one(img, bx):
+                if layout == "planar":
+                    img = img.transpose(1, 2, 0)
+                if from_mesh:
+                    xy = bx[:, :2].astype(jnp.float32)
+                    bx = jnp.stack([jnp.min(xy, axis=0),
+                                    jnp.max(xy, axis=0)])
+                roi_abs, _ = crop_roi_from_detection(bx, (w, h), xp=jnp)
                 return self._pipeline(img, roi_abs)
 
             fn = (jax.vmap(lambda im, bk:

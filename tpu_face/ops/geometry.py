@@ -92,9 +92,12 @@ def crop_roi_from_detection(box, image_size: Tuple[int, int], xp=np):
     face_embeddings.rs:101-109: int() of xmin/ymin and of the float
     width/height; the frame intersection is ours (Mat::roi would
     error out of bounds).  Traced-friendly (xp=jnp): degenerate boxes
-    clamp to a 1-px crop instead of failing.  Returns
-    (roi_abs (5,), crop_bbox (4,) = (x0, y0, x1, y1) absolute)."""
+    clamp to a 1-px crop instead of failing.  Returns float32
+    (roi_abs (5,), crop_bbox (4,) = (x0, y0, x1, y1) absolute) — f32
+    like every other ROI producer here (host float64 would retrace
+    jitted consumers)."""
     w, h = image_size
+    box = xp.asarray(box, xp.float32)
     x = xp.trunc(box[0, 0] * w)
     y = xp.trunc(box[0, 1] * h)
     cw = xp.trunc((box[1, 0] - box[0, 0]) * w)
@@ -104,5 +107,6 @@ def crop_roi_from_detection(box, image_size: Tuple[int, int], xp=np):
     x1 = xp.clip(x + cw, x0 + 1.0, float(w))
     y1 = xp.clip(y + ch, y0 + 1.0, float(h))
     roi_abs = xp.stack([(x0 + x1) / 2.0, (y0 + y1) / 2.0,
-                        x1 - x0, y1 - y0, xp.zeros(())])
-    return roi_abs, xp.stack([x0, y0, x1, y1])
+                        x1 - x0, y1 - y0,
+                        xp.zeros((), xp.float32)]).astype(xp.float32)
+    return roi_abs, xp.stack([x0, y0, x1, y1]).astype(xp.float32)
