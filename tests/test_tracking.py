@@ -322,6 +322,24 @@ def test_multiface_scene_entry_keeps_slots(two_face_video):
     assert float(np.asarray(r.mesh)[0, s2, :, 0].mean()) > 0.5
 
 
+def test_multiface_tracker_planar_matches_hwc(two_face_video):
+    """K-face tracking accepts planar frames with identical results."""
+    from tpu_face.tracking import MultiFaceTracker
+
+    t_h = MultiFaceTracker(FaceDetectionModel.FULL, max_faces=2)
+    t_p = MultiFaceTracker(FaceDetectionModel.FULL, max_faces=2,
+                           input_layout="planar")
+    for frame in two_face_video[:2]:
+        rh = t_h.step(frame[None])
+        rp = t_p.step(np.ascontiguousarray(
+            frame[None].transpose(0, 3, 1, 2)))
+        np.testing.assert_array_equal(np.asarray(rh.mesh_valid),
+                                      np.asarray(rp.mesh_valid))
+        np.testing.assert_allclose(np.asarray(rh.mesh),
+                                   np.asarray(rp.mesh), atol=1e-6)
+    assert (t_p.face_count == t_h.face_count).all()
+
+
 def test_multiface_tracker_loss_triggers_redetect(two_face_video):
     from tpu_face.tracking import MultiFaceTracker
 
