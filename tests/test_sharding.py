@@ -109,3 +109,27 @@ def test_sharded_planar_cascade_matches_hwc():
                                np.asarray(ref.mesh), atol=2e-3)
     np.testing.assert_array_equal(np.asarray(out.face_valid),
                                   np.asarray(ref.face_valid))
+
+
+def test_sharded_embed_cascade_matches_single_device():
+    """The identification pipeline shards over the batch like the
+    face cascade (zero collectives: same program shape)."""
+    from pathlib import Path
+
+    import tpu_face
+    from tpu_face.pipeline import EmbedCascade
+
+    from tpu_face.utils.image_io import load_image
+
+    demo = str(Path(tpu_face.__file__).parent / "data" / "demo")
+    img = load_image("/root/reference/test_data/man.jpg")
+    batch = np.stack([np.roll(img, 6 * i, axis=1) for i in range(8)])
+    cas = EmbedCascade(FaceDetectionModel.SHORT, embed_model_path=demo)
+    mesh = data_parallel_mesh()
+    rs = jax.block_until_ready(infer_sharded(cas, batch, mesh))
+    ru = jax.block_until_ready(cas.infer_batch(batch))
+    np.testing.assert_array_equal(np.asarray(rs.face_valid),
+                                  np.asarray(ru.face_valid))
+    np.testing.assert_allclose(np.asarray(rs.embedding),
+                               np.asarray(ru.embedding), atol=2e-4)
+    assert np.asarray(rs.face_valid).all()
