@@ -310,31 +310,56 @@ def test_warp_cfg_and_band_tiers():
     """The three warp-config tiers are deliberate, probe-backed
     choices (tools/tpu_540p_rt_probe.py, tpu_1080p_rt_probe.py,
     tpu_4k_rt_probe.py) — changing them must be a conscious act."""
+    from tpu_face.models.face_detection import FaceDetectionModel
     from tpu_face.pipeline import FaceCascade
 
+    c = FaceCascade(FaceDetectionModel.SHORT)
     # VMEM-resident (540p): rt16, bands 96/72
-    assert FaceCascade._warp_cfg((540, 360)) == (32, 256, 126, 16)
+    assert c._warp_cfg((540, 360)) == (32, 256, 126, 16)
     assert FaceCascade._bands((540, 360)) == (96, 72)
     # residency edge (720p): mesh band grows toward 136
     assert FaceCascade._bands((1280, 720)) == (136, 72)
     # HBM strips (1080p): rt16, constant 144 (x-envelope-matched)
-    assert FaceCascade._warp_cfg((1920, 1080)) == (32, 256, 126, 16)
+    assert c._warp_cfg((1920, 1080)) == (32, 256, 126, 16)
     assert FaceCascade._bands((1920, 1080)) == (144, 144)
     # >2560 wide-window tier: rt8, maxdim-scaled bands
-    cw, xload, xb, rt = FaceCascade._warp_cfg((3840, 2160))
+    cw, xload, xb, rt = c._warp_cfg((3840, 2160))
     assert (cw, xload, rt) == (16, 512, 8)
     assert FaceCascade._bands((3840, 2160)) == (192, 192)
+    # opt-in "speed" profile: rt32 in the RESIDENT tier only
+    cs = FaceCascade(FaceDetectionModel.SHORT, warp_profile="speed")
+    assert cs._warp_cfg((540, 360)) == (32, 256, 126, 32)
+    assert cs._warp_cfg((1920, 1080)) == (32, 256, 126, 16)
+
+
+def test_speed_profile_accuracy_on_baseline():
+    """warp_profile='speed' (rt32 resident) keeps the BASELINE parity
+    on man.jpg (the probe's measured config)."""
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    out = FaceCascade(FaceDetectionModel.BACK_CAMERA,
+                      warp_method="pallas",
+                      warp_profile="speed").infer_batch(img[None])
+    assert bool(out.mesh_valid[0]) and bool(out.envelope_ok[0])
+    mesh = np.asarray(out.mesh_raw[0])
+    assert abs(mesh[1, 0] * 540 - 263.85) <= 1.0
+    assert abs(mesh[1, 1] * 360 - 143.37) <= 1.0
 
 
 def test_warp_cfg_narrow_tall_frame_budget():
     """A >2560-px-tall but narrow frame cannot load 512 lanes; the
     cascade's warp config must shrink the x-budget with the padded
     plane width instead of over-promising the envelope."""
+    from tpu_face.models.face_detection import FaceDetectionModel
     from tpu_face.pipeline import FaceCascade
 
-    cw, xload, x_budget, rt = FaceCascade._warp_cfg((300, 2700))
+    c = FaceCascade(FaceDetectionModel.SHORT)
+    cw, xload, x_budget, rt = c._warp_cfg((300, 2700))
     assert xload == 384 and x_budget == 384 - 129
-    cw, xload, x_budget, rt = FaceCascade._warp_cfg((2160, 3840))
+    cw, xload, x_budget, rt = c._warp_cfg((2160, 3840))
     assert xload == 512 and x_budget == 383
-    cw, xload, x_budget, rt = FaceCascade._warp_cfg((540, 360))
+    cw, xload, x_budget, rt = c._warp_cfg((540, 360))
     assert (cw, xload, x_budget, rt) == (32, 256, 126, 16)

@@ -109,7 +109,9 @@ def main():
                 f"nose=({nose[0]:.1f},{nose[1]:.1f})")
             results.append((label, fps, acc, env))
     finally:
-        FaceCascade._warp_cfg = staticmethod(base_warp_cfg)
+        # _warp_cfg is an instance method post-round-3 (plain
+        # function assignment rebinds it); _bands stays static
+        FaceCascade._warp_cfg = base_warp_cfg
         FaceCascade._bands = staticmethod(base_bands)
     print("1080P RT PROBE OK", results)
 

@@ -94,7 +94,9 @@ def main():
                 f"({dt / args.iters * 1e3:6.2f} ms/step) acc={acc} "
                 f"env_ok={env:.2f}")
     finally:
-        FaceCascade._warp_cfg = staticmethod(base_warp_cfg)
+        # _warp_cfg is an instance method post-round-3 (plain
+        # function assignment rebinds it); _bands stays static
+        FaceCascade._warp_cfg = base_warp_cfg
         FaceCascade._bands = staticmethod(base_bands)
     print("540P RT PROBE OK")
 

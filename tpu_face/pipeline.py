@@ -126,7 +126,16 @@ class _DetectorBase:
             return self(images)
 
     def _init_detection(self, detection_model, model_path, compute_dtype,
-                        warp_method, max_faces, nms_top_m, input_layout):
+                        warp_method, max_faces, nms_top_m, input_layout,
+                        warp_profile: str = "coverage"):
+        assert warp_profile in ("coverage", "speed"), warp_profile
+        # "coverage" (default) keeps the probe-validated envelope;
+        # "speed" opts the VMEM-resident tier into rt=32 (+7% cascade,
+        # tools/tpu_540p_rt_probe.py: 6,935 -> 7,384 fps) at the cost
+        # of ~20% smaller rotated-face envelope beyond ~15 deg — for
+        # operators who know their content (portrait/webcam streams).
+        # Out-of-envelope faces flag envelope_ok, never go wrong.
+        self._warp_profile = warp_profile
         base = Path(model_path) if model_path else _DATA_DIR
         det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
         self._det_net = build_jax_fn(det_graph, compute_dtype=compute_dtype)
@@ -242,8 +251,7 @@ class _DetectorBase:
                  else jnp.bfloat16)
         return dtype, plane_y_align(dtype)
 
-    @staticmethod
-    def _warp_cfg(image_size):
+    def _warp_cfg(self, image_size):
         """(cw, xload, x_budget, rt): mesh/iris warp block geometry.
 
         Huge frames mean huge faces: a 4K close-up face warps at mesh
@@ -266,12 +274,16 @@ class _DetectorBase:
         (tools/tpu_1080p_rt_probe.py: 2,685 -> ~2,950).  The >2560
         wide-window tier keeps rt=8 (coverage-preserving rt16 is a
         wash there — iris bands grow exactly linearly in rt,
-        tools/tpu_4k_rt_probe.py)."""
-        from .ops.pallas_warp import padded_width
+        tools/tpu_4k_rt_probe.py).  The opt-in "speed" profile runs
+        the RESIDENT tier at rt=32 (see _init_detection)."""
+        from .ops.pallas_warp import padded_width, planes_fit_vmem
         w, h = image_size
         if max(image_size) > 2560:
             xload = min(512, padded_width(w))
             return 16, xload, xload - 129, 8
+        if (getattr(self, "_warp_profile", "coverage") == "speed"
+                and planes_fit_vmem(h, w)):
+            return 32, 256, 126, 32
         return 32, 256, 126, 16
 
     @staticmethod
@@ -327,10 +339,11 @@ class FaceCascade(_DetectorBase):
                  warp_method: str = "auto",
                  max_faces: int = 1,
                  nms_top_m: int = 128,
-                 input_layout: str = "hwc"):
+                 input_layout: str = "hwc",
+                 warp_profile: str = "coverage"):
         self._init_detection(detection_model, model_path, compute_dtype,
                              warp_method, max_faces, nms_top_m,
-                             input_layout)
+                             input_layout, warp_profile)
         base = Path(model_path) if model_path else _DATA_DIR
         mesh_graph = Graph(base / "face_landmark.npz")
         iris_graph = Graph(base / "iris_landmark.npz")
@@ -536,10 +549,11 @@ class EmbedCascade(_DetectorBase):
                  warp_method: str = "auto",
                  max_faces: int = 1,
                  nms_top_m: int = 128,
-                 input_layout: str = "hwc"):
+                 input_layout: str = "hwc",
+                 warp_profile: str = "coverage"):
         self._init_detection(detection_model, model_path, compute_dtype,
                              warp_method, max_faces, nms_top_m,
-                             input_layout)
+                             input_layout, warp_profile)
         ebase = Path(embed_model_path or model_path or _DATA_DIR)
         npz = ebase / "face_embeddings.npz"
         if not npz.exists():

@@ -77,13 +77,15 @@ class FaceTracker:
                  warp_method: str = "auto",
                  redetect_every: Optional[int] = None,
                  input_layout: str = "hwc",
-                 repair_batch: Optional[int] = None):
+                 repair_batch: Optional[int] = None,
+                 warp_profile: str = "coverage"):
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
                                    compute_dtype=compute_dtype,
                                    warp_method=warp_method,
                                    max_faces=1,
-                                   input_layout=input_layout)
+                                   input_layout=input_layout,
+                                   warp_profile=warp_profile)
         assert self.cascade.max_faces == 1, \
             "tracking supports one face per stream"
         # force a detector pass every N steps even while locked (guards
@@ -326,14 +328,16 @@ class MultiFaceTracker:
                  warp_method: str = "auto",
                  redetect_every: Optional[int] = None,
                  input_layout: str = "hwc",
-                 repair_batch: Optional[int] = None):
+                 repair_batch: Optional[int] = None,
+                 warp_profile: str = "coverage"):
         assert max_faces >= 1
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
                                    compute_dtype=compute_dtype,
                                    warp_method=warp_method,
                                    max_faces=max_faces,
-                                   input_layout=input_layout)
+                                   input_layout=input_layout,
+                                   warp_profile=warp_profile)
         self.max_faces = max_faces
         self.redetect_every = redetect_every
         # per-step detection sub-batch for unlocked streams (see
