@@ -139,6 +139,40 @@ def test_tracker_step_lowers_real_conditionals():
     assert n_cond >= 2, n_cond
 
 
+@pytest.mark.slow
+def test_tracker_random_churn_invariants(video):
+    """Seeded random loss patterns over many steps: whatever the
+    dark-frame pattern, (a) a dark frame is never a valid face,
+    (b) a stream with a good frame AND valid entry state stays valid,
+    (c) a stream whose frame is good recovers within 2 steps of its
+    darkness ending (repair or full path), (d) everything finite."""
+    rng = np.random.default_rng(99)
+    b = 6
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                          repair_batch=2)
+    frames = np.stack([video[i % len(video)] for i in range(b)])
+    dark_since = np.full(b, -10)
+    prev_valid = np.zeros(b, bool)
+    for step in range(12):
+        dark = rng.random(b) < 0.25
+        cur = frames.copy()
+        cur[dark] = 0
+        res = tracker.step(cur)
+        valid = np.asarray(res.mesh_valid)
+        fv = np.asarray(res.face_valid)
+        assert np.isfinite(np.asarray(res.mesh)).all()
+        for i in range(b):
+            if dark[i]:
+                assert not valid[i], (step, i)   # (a)
+                dark_since[i] = step
+            else:
+                if prev_valid[i]:
+                    assert valid[i], (step, i)   # (b) tracked fine
+                elif step - dark_since[i] >= 2:
+                    assert valid[i] or fv[i], (step, i)  # (c)
+        prev_valid = valid
+
+
 def test_tracker_mass_loss_full_path(video):
     """More simultaneous losses than the repair batch: the step falls
     back to full detection for everyone and recovers the whole batch
