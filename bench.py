@@ -313,7 +313,8 @@ def main():
                                   compute_dtype=(jnp.bfloat16
                                                  if chosen == "bf16"
                                                  else jnp.float32),
-                                  input_layout=args.layout)
+                                  input_layout=args.layout,
+                                  warp_profile=args.warp_profile)
             r = tracker.step(batch)        # lock (full path) + compile
             np.asarray(r.score)
             assert tracker.tracking.all(), "tracking failed to lock"
@@ -357,7 +358,8 @@ def main():
                                                      if chosen == "bf16"
                                                      else jnp.float32),
                                       input_layout=args.layout,
-                                      repair_batch=4 * churn)
+                                      repair_batch=4 * churn,
+                                      warp_profile=args.warp_profile)
                 tracker.step(batch)               # lock (full path)
                 for i in range(3):                # compile churn path
                     cur = jnp.where(masks_d[i].reshape(mshape),
@@ -401,7 +403,8 @@ def main():
                                 compute_dtype=(jnp.bfloat16
                                                if chosen == "bf16"
                                                else jnp.float32),
-                                input_layout=args.layout)
+                                input_layout=args.layout,
+                                warp_profile=args.warp_profile)
             r = ecas(batch)
             np.asarray(r.score)
             assert bool(np.asarray(r.face_valid[0])), "no face embedded"
