@@ -123,11 +123,15 @@ def main():
                     help="skip the fused detect->crop->embed "
                          "(EmbedCascade) measurement on the demo "
                          "embeddings graph")
-    ap.add_argument("--warp-profile", choices=["coverage", "speed"],
+    ap.add_argument("--warp-profile",
+                    choices=["coverage", "speed", "auto"],
                     default="coverage",
                     help="'speed' opts the resident warp tier into "
                          "rt=32 (+7%% cascade, ~20%% smaller rotated-"
-                         "face envelope beyond ~15 deg)")
+                         "face envelope beyond ~15 deg); 'auto' "
+                         "dispatches rt per batch on exact ROI "
+                         "feasibility (speed when it fits, coverage "
+                         "otherwise)")
     ap.add_argument("--layout", choices=["hwc", "planar"],
                     default="hwc",
                     help="frame layout fed to the cascade: hwc = "

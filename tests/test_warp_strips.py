@@ -332,6 +332,67 @@ def test_warp_cfg_and_band_tiers():
     assert cs._warp_cfg((1920, 1080)) == (32, 256, 126, 16)
 
 
+def test_auto_profile_dispatch():
+    """warp_profile='auto': per-batch HLO conds pick the rt32 speed
+    config when every face's exact ROI fits its envelope, and the
+    rt16 coverage config otherwise — no coverage loss, no host sync."""
+    import jax
+
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    auto = FaceCascade(FaceDetectionModel.BACK_CAMERA,
+                       warp_method="pallas", warp_profile="auto")
+    speed = FaceCascade(FaceDetectionModel.BACK_CAMERA,
+                        warp_method="pallas", warp_profile="speed")
+    cov = FaceCascade(FaceDetectionModel.BACK_CAMERA,
+                      warp_method="pallas")
+
+    # small face: the rt32 branch runs -> identical to the speed
+    # profile (same kernels, same configs)
+    ra = auto.infer_batch(img[None])
+    rs = speed.infer_batch(img[None])
+    assert bool(ra.mesh_valid[0]) and bool(ra.envelope_ok[0])
+    np.testing.assert_allclose(np.asarray(ra.mesh),
+                               np.asarray(rs.mesh), atol=1e-6)
+    mesh = np.asarray(ra.mesh_raw[0])
+    assert abs(mesh[1, 0] * 540 - 263.85) <= 1.0
+    assert abs(mesh[1, 1] * 360 - 143.37) <= 1.0
+
+    # near-full-frame face: mesh ROI exceeds the rt32 envelope -> the
+    # rt16 branch runs -> identical to the coverage profile, and the
+    # face stays VALID (a hard speed profile would flag it)
+    from PIL import Image
+    big = np.asarray(Image.fromarray(img[64:244, 175:355])
+                     .resize((540, 360), Image.BILINEAR), np.uint8)
+    rb = auto.infer_batch(big[None])
+    rc = cov.infer_batch(big[None])
+    assert bool(rb.face_valid[0])
+    roi_h = float(np.asarray(rb.face_roi[0])[3]) * 360
+    assert roi_h > 522, roi_h          # genuinely beyond rt32's y-cap
+    # the MESH cond took the rt16 branch: raw mesh identical to
+    # coverage.  (The iris cond decides independently on the exact eye
+    # ROIs — either branch stays within kernel-rounding of the other,
+    # so the refined mesh is compared at the one-uint8-level budget.)
+    np.testing.assert_allclose(np.asarray(rb.mesh_raw),
+                               np.asarray(rc.mesh_raw), atol=1e-6)
+    d_px = np.abs(np.asarray(rb.mesh) - np.asarray(rc.mesh)) \
+        * np.array([540.0, 360.0, 540.0])
+    assert d_px.max() <= 0.5, d_px.max()
+    assert bool(rb.mesh_valid[0])      # rt16 branch keeps it valid
+    rsb = speed.infer_batch(big[None])
+    assert not bool(rsb.envelope_ok[0])  # the hard profile flags it
+
+    # the lowered program contains the two real branch points
+    fn = auto._get_jitted(360, 540)
+    text = fn.lower(jax.ShapeDtypeStruct((1, 360, 540, 3), np.uint8)
+                    ).as_text()
+    n_cond = text.count("stablehlo.case") + text.count("stablehlo.if")
+    assert n_cond >= 2, n_cond
+
+
 def test_speed_profile_accuracy_on_baseline():
     """warp_profile='speed' (rt32 resident) keeps the BASELINE parity
     on man.jpg (the probe's measured config)."""

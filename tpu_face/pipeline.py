@@ -105,8 +105,18 @@ class _DetectorBase:
     def _get_jitted(self, h, w):
         key = (h, w)
         if key not in self._jitted:
-            fn = partial(self._single, image_size=(w, h))
-            self._jitted[key] = jax.jit(jax.vmap(fn))
+            from .ops.pallas_warp import planes_fit_vmem
+            if (getattr(self, "_warp_profile", "coverage") == "auto"
+                    and getattr(self, "max_faces", 1) == 1
+                    and self._warp == "pallas"
+                    and hasattr(self, "_mesh_net")
+                    and planes_fit_vmem(h, w)):
+                # per-batch rt dispatch (FaceCascade, resident tier)
+                fn = partial(self._batched_auto, image_size=(w, h))
+                self._jitted[key] = jax.jit(fn)
+            else:
+                fn = partial(self._single, image_size=(w, h))
+                self._jitted[key] = jax.jit(jax.vmap(fn))
         return self._jitted[key]
 
     def __call__(self, images: jnp.ndarray):
@@ -128,7 +138,8 @@ class _DetectorBase:
     def _init_detection(self, detection_model, model_path, compute_dtype,
                         warp_method, max_faces, nms_top_m, input_layout,
                         warp_profile: str = "coverage"):
-        assert warp_profile in ("coverage", "speed"), warp_profile
+        assert warp_profile in ("coverage", "speed", "auto"), \
+            warp_profile
         # "coverage" (default) keeps the probe-validated envelope;
         # "speed" opts the VMEM-resident tier into rt=32 (+7% cascade,
         # tools/tpu_540p_rt_probe.py: 6,935 -> 7,384 fps) at the cost
@@ -372,25 +383,55 @@ class FaceCascade(_DetectorBase):
                                               image_size, warp))(
                                                   dets, out_s, out_v)
 
+    def _full_cfg(self, image_size, cfg=None):
+        """(cw, xload, x_budget, rt, mesh_band, iris_band): the
+        resolved warp config — ``cfg`` overrides the per-size default
+        (the "auto" profile's per-batch rt dispatch passes explicit
+        configs; everything else passes None)."""
+        if cfg is not None:
+            return cfg
+        mesh_band, iris_band = self._bands(image_size)
+        cw, xload, x_budget, rt = self._warp_cfg(image_size)
+        return cw, xload, x_budget, rt, mesh_band, iris_band
+
+    def _face_roi_from_det(self, det, image_size):
+        """Stage 2: face ROI (face_landmark.rs:180-198); keypoint rows
+        2 (left eye) and 3 (right eye), scale 1.5, square-long."""
+        w, h = image_size
+        return _bbox_to_roi_abs(
+            det[0, 0], det[0, 1], det[1, 0], det[1, 1],
+            det[2] * jnp.array([w, h]), det[3] * jnp.array([w, h]),
+            MESH_ROI_SCALE, w, h)
+
     def _face_stages(self, img, planes, det, score, face_valid,
-                     image_size, warp, face_roi_abs=None):
+                     image_size, warp, face_roi_abs=None, cfg=None):
         """Stages 2-6 for one detected face (vmapped when
         ``max_faces > 1``).  ``face_roi_abs`` overrides stage 2 when
         the ROI comes from elsewhere (the tracking loop derives it
-        from the previous frame's landmarks, tracking.py)."""
-        w, h = image_size
-        mesh_band, iris_band = self._bands(image_size)
-        y_align = self._plane_cfg(image_size)[1]
-        cw, xload, x_budget, rt = self._warp_cfg(image_size)
-
+        from the previous frame's landmarks, tracking.py); ``cfg``
+        overrides the warp config (see _full_cfg)."""
         if face_roi_abs is None:
-            # Stage 2: face ROI (face_landmark.rs:180-198); keypoint
-            # rows 2 (left eye) and 3 (right eye), scale 1.5,
-            # square-long.
-            face_roi_abs = _bbox_to_roi_abs(
-                det[0, 0], det[0, 1], det[1, 0], det[1, 1],
-                det[2] * jnp.array([w, h]), det[3] * jnp.array([w, h]),
-                MESH_ROI_SCALE, w, h)
+            face_roi_abs = self._face_roi_from_det(det, image_size)
+        mesh, mesh_score, env_mesh, left_roi, right_roi = \
+            self._mesh_half(img, planes, face_roi_abs, image_size,
+                            warp, cfg)
+        refined, l_iris, r_iris, env_iris = self._iris_half(
+            img, planes, mesh, left_roi, right_roi, image_size, warp,
+            cfg)
+        return self._assemble_result(
+            det, score, face_valid, face_roi_abs, mesh, refined,
+            mesh_score, left_roi, right_roi, l_iris, r_iris,
+            env_mesh & env_iris, image_size)
+
+    def _mesh_half(self, img, planes, face_roi_abs, image_size, warp,
+                   cfg=None):
+        """Stage 3 (mesh warp + CNN + projection) and stage 4 (eye
+        ROIs) for one face.  Returns (mesh [468,3] normalized,
+        mesh_score, env_ok, left_roi, right_roi)."""
+        w, h = image_size
+        y_align = self._plane_cfg(image_size)[1]
+        cw, xload, x_budget, rt, mesh_band, _ = self._full_cfg(
+            image_size, cfg)
 
         # Stage 3: face mesh (face_landmark.rs:232-305); the standalone
         # FaceLandmark model remains the exact path for extreme
@@ -436,6 +477,17 @@ class FaceCascade(_DetectorBase):
 
         left_roi = eye_roi(LEFT_EYE_START, LEFT_EYE_END)
         right_roi = eye_roi(RIGHT_EYE_START, RIGHT_EYE_END)
+        return mesh, mesh_score, env_ok, left_roi, right_roi
+
+    def _iris_half(self, img, planes, mesh, left_roi, right_roi,
+                   image_size, warp, cfg=None):
+        """Stage 5 (iris warps + CNN + projections) and stage 6 (mesh
+        refinement) for one face.  Returns (refined mesh, l_iris,
+        r_iris, env_ok)."""
+        y_align = self._plane_cfg(image_size)[1]
+        cw, xload, x_budget, rt, _, iris_band = self._full_cfg(
+            image_size, cfg)
+        env_ok = jnp.asarray(True)
 
         # Stage 5: iris x2, batched as (left, mirrored right)
         # (iris_landmark.rs:158-248).  On the Pallas path both eye
@@ -488,7 +540,13 @@ class FaceCascade(_DetectorBase):
             LEFT_EYE_TO_FACE_LANDMARK_INDEX)].set(l_contour)
         refined = refined.at[jnp.asarray(
             RIGHT_EYE_TO_FACE_LANDMARK_INDEX)].set(r_contour)
+        return refined, l_iris, r_iris, env_ok
 
+    def _assemble_result(self, det, score, face_valid, face_roi_abs,
+                         mesh, refined, mesh_score, left_roi,
+                         right_roi, l_iris, r_iris, env_ok,
+                         image_size):
+        w, h = image_size
         inv_w = 1.0 / w
         inv_h = 1.0 / h
         to_norm = jnp.array([inv_w, inv_h, 1.0, 1.0, 1.0])
@@ -507,6 +565,94 @@ class FaceCascade(_DetectorBase):
             iris=jnp.stack([l_iris, r_iris]),
             envelope_ok=env_ok,
         )
+
+    # ---- "auto" warp profile: per-batch rt dispatch --------------------
+
+    # the probe-validated rt32 speed config and the rt16 coverage
+    # config of the resident tier (tools/tpu_540p_rt_probe.py)
+    _AUTO_CFG32 = (32, 256, 126, 32, 96, 72)
+    _AUTO_CFG16 = (32, 256, 126, 16, 96, 72)
+
+    def _roi_fits(self, roi_abs, out_size, keep_aspect, cw, rt, band,
+                  x_budget, y_align):
+        """Analytic rt-feasibility of one ROI: the same extent algebra
+        as ``pallas_warp.envelope_ok``, from the SHARED
+        ``image.warp_derivatives`` (property-tested against the
+        grid-measured version in tests/test_envelope_property.py)."""
+        dxdu, dxdv, dydu, dydv = image_ops.warp_derivatives(
+            roi_abs, out_size, keep_aspect, xp=jnp)
+        x_ext = cw * dxdu + rt * dxdv + 2.0
+        y_ext = rt * dydv + cw * dydu + 2.0 + (y_align - 1)
+        return (x_ext <= float(x_budget)) & (y_ext <= band)
+
+    def _batched_auto(self, images, image_size):
+        """The "auto" profile's batched program (resident tier,
+        max_faces=1, pallas): after detection, TWO batch-level HLO
+        conditionals run the mesh half and the iris half at rt=32
+        (the measured +7% config) whenever every valid face's EXACT
+        ROI fits the rt32 envelope, falling back to the rt=16
+        coverage config otherwise.  Per batch, no host sync, and no
+        coverage loss: infeasible geometry selects the wide config
+        instead of flagging envelope_ok the way a hard rt=32 profile
+        would."""
+        c32, c16 = self._AUTO_CFG32, self._AUTO_CFG16
+        y_align = self._plane_cfg(image_size)[1]
+        img_b, planes_b = jax.vmap(
+            lambda im: self._prepare_frame(im, image_size))(images)
+        d, s, v = jax.vmap(
+            lambda img, pl: self._detect_stage(img, pl, image_size,
+                                               "pallas")
+        )(img_b, planes_b)
+        det0, s0, v0 = d[:, 0], s[:, 0], v[:, 0]
+        roi_b = jax.vmap(
+            lambda dd: self._face_roi_from_det(dd, image_size))(det0)
+
+        invalid = jnp.logical_not(v0)
+        fits_m = jax.vmap(lambda r: self._roi_fits(
+            r, (self.mesh_w, self.mesh_h), False, c32[0], c32[3],
+            c32[4], c32[2], y_align))(roi_b)
+        pred_m = jnp.all(fits_m | invalid)
+
+        def mesh_with(cfg):
+            def run(ops):
+                ib, pb, rb = ops
+                return jax.vmap(
+                    lambda img, pl, rr: self._mesh_half(
+                        img, pl, rr, image_size, "pallas", cfg)
+                )(ib, pb, rb)
+            return run
+
+        mesh, mscore, env_m, lroi, rroi = jax.lax.cond(
+            pred_m, mesh_with(c32), mesh_with(c16),
+            (img_b, planes_b, roi_b))
+
+        def iris_fits(r):
+            return self._roi_fits(r, (self.iris_w, self.iris_h), True,
+                                  c32[0], c32[3], c32[5], c32[2],
+                                  y_align)
+
+        pred_i = jnp.all((jax.vmap(iris_fits)(lroi)
+                          & jax.vmap(iris_fits)(rroi)) | invalid)
+
+        def iris_with(cfg):
+            def run(ops):
+                ib, pb, m_, lr, rr = ops
+                return jax.vmap(
+                    lambda img, pl, mm, l_, r_: self._iris_half(
+                        img, pl, mm, l_, r_, image_size, "pallas",
+                        cfg)
+                )(ib, pb, m_, lr, rr)
+            return run
+
+        refined, l_ir, r_ir, env_i = jax.lax.cond(
+            pred_i, iris_with(c32), iris_with(c16),
+            (img_b, planes_b, mesh, lroi, rroi))
+
+        assemble = partial(self._assemble_result,
+                           image_size=image_size)
+        return jax.vmap(assemble)(det0, s0, v0, roi_b, mesh, refined,
+                                  mscore, lroi, rroi, l_ir, r_ir,
+                                  env_m & env_i)
 
     # batched API (__call__ / infer_batch): inherited from
     # _DetectorBase; returns CascadeResult
