@@ -332,6 +332,7 @@ def test_warp_cfg_and_band_tiers():
     assert cs._warp_cfg((1920, 1080)) == (32, 256, 126, 16)
 
 
+@pytest.mark.slow
 def test_auto_profile_dispatch():
     """warp_profile='auto': per-batch HLO conds pick the rt32 speed
     config when every face's exact ROI fits its envelope, and the
