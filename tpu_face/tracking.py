@@ -61,6 +61,18 @@ def roi_from_mesh(mesh: jnp.ndarray, image_size: Tuple[int, int]
                             MESH_ROI_SCALE, w, h)
 
 
+def _det_from_roi(roi_abs, image_size):
+    """Detection rows carrying a tracked ROI's bbox (the mesh ROI
+    itself is injected downstream, not rederived from these rows)."""
+    w, h = image_size
+    cx, cy, rw, rh = roi_abs[0], roi_abs[1], roi_abs[2], roi_abs[3]
+    half = jnp.stack([rw / w, rh / h]) / 2.0
+    center = jnp.stack([cx / w, cy / h])
+    return jnp.concatenate([
+        (center - half)[None], (center + half)[None],
+        jnp.zeros((6, 2), jnp.float32)])
+
+
 class FaceTracker:
     """Stateful video cascade over B parallel streams.
 
@@ -119,18 +131,83 @@ class FaceTracker:
         # plane build + planar handling shared with the full cascade
         # (pipeline._prepare_frame is the single source of truth)
         img, planes = c._prepare_frame(image, image_size)
-        # detection fields carry the tracked ROI's bbox (score 1.0 =
-        # "locked"); the mesh ROI itself is injected, not rederived
-        w, h = image_size
-        cx, cy, rw, rh = roi_abs[0], roi_abs[1], roi_abs[2], roi_abs[3]
-        half = jnp.stack([rw / w, rh / h]) / 2.0
-        center = jnp.stack([cx / w, cy / h])
-        det = jnp.concatenate([
-            (center - half)[None], (center + half)[None],
-            jnp.zeros((6, 2), jnp.float32)])
+        det = _det_from_roi(roi_abs, image_size)
         return c._face_stages(img, planes, det,
                               valid.astype(jnp.float32), valid,
                               image_size, warp, face_roi_abs=roi_abs)
+
+    def _use_auto(self, image_size):
+        """The tracked path dispatches rt per batch (like the
+        cascade's "auto" profile) when opted in and on the resident
+        pallas tier."""
+        from .ops.pallas_warp import planes_fit_vmem
+        c = self.cascade
+        w, h = image_size
+        return (getattr(c, "_warp_profile", "coverage") == "auto"
+                and c._warp == "pallas" and planes_fit_vmem(h, w))
+
+    def _tracked_batched_auto(self, images, safe_rois, valid,
+                              image_size):
+        """The detection-free step for ALL streams with per-batch rt
+        dispatch: state ROIs are known BEFORE any compute, so the
+        rt32-feasibility predicates are free; two HLO conditionals
+        pick the speed or coverage config per warp stage (the same
+        shared _mesh_half/_iris_half the cascade's auto profile
+        uses)."""
+        c = self.cascade
+        c32, c16 = c._AUTO_CFG32, c._AUTO_CFG16
+        y_align = c._plane_cfg(image_size)[1]
+        img_b, planes_b = jax.vmap(
+            lambda im: c._prepare_frame(im, image_size))(images)
+        invalid = jnp.logical_not(valid)
+
+        fits_m = jax.vmap(lambda rr: c._roi_fits(
+            rr, (c.mesh_w, c.mesh_h), False, c32[0], c32[3], c32[4],
+            c32[2], y_align))(safe_rois)
+        pred_m = jnp.all(fits_m | invalid)
+
+        def mesh_with(cfg):
+            def run(ops):
+                ib, pb, rb = ops
+                return jax.vmap(
+                    lambda img, pl, rr: c._mesh_half(
+                        img, pl, rr, image_size, "pallas", cfg)
+                )(ib, pb, rb)
+            return run
+
+        mesh, mscore, env_m, lroi, rroi = jax.lax.cond(
+            pred_m, mesh_with(c32), mesh_with(c16),
+            (img_b, planes_b, safe_rois))
+
+        def iris_fits(rr):
+            return c._roi_fits(rr, (c.iris_w, c.iris_h), True, c32[0],
+                               c32[3], c32[5], c32[2], y_align)
+
+        pred_i = jnp.all((jax.vmap(iris_fits)(lroi)
+                          & jax.vmap(iris_fits)(rroi)) | invalid)
+
+        def iris_with(cfg):
+            def run(ops):
+                ib, pb, m_, lr, rr = ops
+                return jax.vmap(
+                    lambda img, pl, mm, l_, r_: c._iris_half(
+                        img, pl, mm, l_, r_, image_size, "pallas",
+                        cfg)
+                )(ib, pb, m_, lr, rr)
+            return run
+
+        refined, l_ir, r_ir, env_i = jax.lax.cond(
+            pred_i, iris_with(c32), iris_with(c16),
+            (img_b, planes_b, mesh, lroi, rroi))
+
+        det_b = jax.vmap(
+            lambda rr: _det_from_roi(rr, image_size))(safe_rois)
+        from functools import partial
+        assemble = partial(c._assemble_result, image_size=image_size)
+        return jax.vmap(assemble)(det_b, valid.astype(jnp.float32),
+                                  valid, safe_rois, mesh, refined,
+                                  mscore, lroi, rroi, l_ir, r_ir,
+                                  env_m & env_i)
 
     def _step_fn(self, images, roi, valid, force_detect, image_size):
         c = self.cascade
@@ -149,10 +226,14 @@ class FaceTracker:
             dummy = jnp.array([w / 2.0, h / 2.0, 64.0, 64.0, 0.0],
                               jnp.float32)
             safe = jnp.where(valid[:, None], roi, dummy)
-            res = jax.vmap(
-                lambda im, rr, v: self._tracked_single(im, rr, v,
-                                                       image_size)
-            )(images, safe, valid)
+            if self._use_auto(image_size):
+                res = self._tracked_batched_auto(images, safe, valid,
+                                                 image_size)
+            else:
+                res = jax.vmap(
+                    lambda im, rr, v: self._tracked_single(im, rr, v,
+                                                           image_size)
+                )(images, safe, valid)
             # unusable tracked output: no entry ROI, or presence lost
             lost = jnp.logical_not(valid & res.mesh_valid)
 
