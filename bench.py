@@ -125,13 +125,15 @@ def main():
                          "embeddings graph")
     ap.add_argument("--warp-profile",
                     choices=["coverage", "speed", "auto"],
-                    default="coverage",
-                    help="'speed' opts the resident warp tier into "
-                         "rt=32 (+7%% cascade, ~20%% smaller rotated-"
-                         "face envelope beyond ~15 deg); 'auto' "
-                         "dispatches rt per batch on exact ROI "
-                         "feasibility (speed when it fits, coverage "
-                         "otherwise)")
+                    default="auto",
+                    help="'auto' (default, matches the library "
+                         "default) dispatches rt per batch on exact "
+                         "ROI feasibility (speed when it fits, "
+                         "coverage otherwise, no coverage loss); "
+                         "'coverage' pins the rt=16 envelope; "
+                         "'speed' hard-pins rt=32 (+7%% cascade, "
+                         "~20%% smaller rotated-face envelope beyond "
+                         "~15 deg)")
     ap.add_argument("--layout", choices=["hwc", "planar"],
                     default="hwc",
                     help="frame layout fed to the cascade: hwc = "

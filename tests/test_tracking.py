@@ -235,64 +235,57 @@ def test_tracker_reset(video):
     assert tracker.tracking.all()
 
 
-def test_tracker_auto_profile_lowers_rt_conditionals():
-    """warp_profile='auto' in video mode: on top of the full-vs-tracked
-    and repair gates, the tracked path adds the two per-batch rt
-    dispatch conditionals (mesh + iris) — real HLO branch points, so
-    the rt32 speed config genuinely runs when every state ROI fits."""
+def test_tracker_auto_profile_is_the_fused_tracked_program():
+    """The tracked path does NOT dispatch rt per batch under
+    warp_profile='auto': the dispatch was built and measured a net
+    loss (cond-boundary plane copies > rt32 warp savings — closed
+    negative, tracking.py note above _step_fn), so the auto tracker
+    must lower the SAME program as the coverage tracker, keeping only
+    the full-vs-tracked and repair branch points."""
     import jax
 
-    auto = FaceTracker(FaceDetectionModel.SHORT, repair_batch=1,
-                       warp_method="pallas", warp_profile="auto")
-    assert auto._use_auto((540, 360))
-    fn = auto._get_jitted((360, 540))
     args = (jax.ShapeDtypeStruct((2, 360, 540, 3), np.uint8),
             jax.ShapeDtypeStruct((2, 5), np.float32),
             jax.ShapeDtypeStruct((2,), np.bool_),
             jax.ShapeDtypeStruct((), np.bool_))
-    text = fn.lower(*args).as_text()
-    n_cond = text.count("stablehlo.case") + text.count("stablehlo.if")
-    assert n_cond >= 4, n_cond
+    texts = {}
+    for profile in ("auto", "coverage"):
+        t = FaceTracker(FaceDetectionModel.SHORT, repair_batch=1,
+                        warp_method="pallas", warp_profile=profile)
+        texts[profile] = t._get_jitted((360, 540)).lower(
+            *args).as_text()
+    assert texts["auto"] == texts["coverage"]
+    n_cond = (texts["auto"].count("stablehlo.case")
+              + texts["auto"].count("stablehlo.if"))
+    assert n_cond >= 2, n_cond
 
 
 @pytest.mark.slow
-def test_tracker_auto_profile_matches_coverage(video):
-    """Tracked-mode per-batch rt dispatch: the auto tracker stays
-    locked on the same stream and agrees with the coverage tracker
-    within the warp kernel-rounding budget; a near-full-frame face
-    (state ROI beyond the rt32 envelope) takes the rt16 branch and
-    stays VALID instead of being flagged."""
+def test_tracker_near_fullframe_face_stays_locked(video):
+    """The default-profile tracker holds lock on ordinary video, and a
+    near-full-frame face (state ROI beyond the rt32 y-envelope — the
+    geometry that killed the hard 'speed' profile's lock) stays locked
+    and VALID across tracked steps on the coverage-envelope rt16
+    configs the tracked path always uses."""
     ta = FaceTracker(FaceDetectionModel.BACK_CAMERA,
-                     warp_method="pallas", warp_profile="auto")
-    tc = FaceTracker(FaceDetectionModel.BACK_CAMERA,
                      warp_method="pallas")
     for i, frame in enumerate(video):
         ra = ta.step(frame)
-        rc = tc.step(frame)
         assert bool(np.asarray(ra.mesh_valid[0])), i
         assert ta.tracking.all(), i
-        d_px = np.abs(np.asarray(ra.mesh[0]) - np.asarray(rc.mesh[0])) \
-            * np.array([540.0, 360.0, 540.0])
-        assert d_px.max() <= 1.0, (i, d_px.max())
 
-    # near-full-frame face: the state ROI exceeds the rt32 y-envelope,
-    # so the mesh cond must take the rt16 coverage branch — the face
-    # stays locked and valid across tracked steps
+    # near-full-frame face: the state ROI exceeds the rt32 y-envelope;
+    # the tracked path's rt16 coverage config must keep it valid
     from PIL import Image
     img = load_image(MAN)
     big = np.asarray(Image.fromarray(img[74:234, 185:345])
                      .resize((540, 360), Image.BILINEAR), np.uint8)
     big_video = [np.roll(big, 2 * i, axis=1) for i in range(3)]
     ta.reset()
-    tc.reset()
     for i, frame in enumerate(big_video):
         ra = ta.step(frame)
-        rc = tc.step(frame)
         assert bool(np.asarray(ra.mesh_valid[0])), i
         assert ta.tracking.all(), i
-        d_px = np.abs(np.asarray(ra.mesh[0]) - np.asarray(rc.mesh[0])) \
-            * np.array([540.0, 360.0, 540.0])
-        assert d_px.max() <= 1.0, (i, d_px.max())
     roi_h = float(np.asarray(ra.face_roi[0])[3]) * 360
     assert roi_h > 522, roi_h      # genuinely beyond rt32's y-cap
 

@@ -137,15 +137,21 @@ class _DetectorBase:
 
     def _init_detection(self, detection_model, model_path, compute_dtype,
                         warp_method, max_faces, nms_top_m, input_layout,
-                        warp_profile: str = "coverage"):
+                        warp_profile: str = "auto"):
         assert warp_profile in ("coverage", "speed", "auto"), \
             warp_profile
-        # "coverage" (default) keeps the probe-validated envelope;
-        # "speed" opts the VMEM-resident tier into rt=32 (+7% cascade,
-        # tools/tpu_540p_rt_probe.py: 6,935 -> 7,384 fps) at the cost
-        # of ~20% smaller rotated-face envelope beyond ~15 deg — for
-        # operators who know their content (portrait/webcam streams).
-        # Out-of-envelope faces flag envelope_ok, never go wrong.
+        # "auto" (default since 0.3.1) dispatches the warp row tile
+        # per batch via real HLO conditionals: rt=32 (+7%) exactly
+        # when every valid face's ROI fits its envelope, the rt=16
+        # coverage config otherwise — no coverage loss, at the cost
+        # of compiling both branches (applies to max_faces=1 resident
+        # pallas FaceCascade; transparent fallback elsewhere).
+        # "coverage" pins the probe-validated rt=16 envelope (single
+        # branch, halves cascade compile time); "speed" hard-pins
+        # rt=32 (+7% cascade, tools/tpu_540p_rt_probe.py: 6,935 ->
+        # 7,384 fps) at ~20% smaller rotated-face envelope beyond
+        # ~15 deg — for operators who know their content.  Out-of-
+        # envelope faces flag envelope_ok, never go wrong.
         self._warp_profile = warp_profile
         base = Path(model_path) if model_path else _DATA_DIR
         det_graph = Graph(base / f"{_MODEL_FILES[detection_model]}.npz")
@@ -351,7 +357,7 @@ class FaceCascade(_DetectorBase):
                  max_faces: int = 1,
                  nms_top_m: int = 128,
                  input_layout: str = "hwc",
-                 warp_profile: str = "coverage"):
+                 warp_profile: str = "auto"):
         self._init_detection(detection_model, model_path, compute_dtype,
                              warp_method, max_faces, nms_top_m,
                              input_layout, warp_profile)
@@ -613,18 +619,23 @@ class FaceCascade(_DetectorBase):
             c32[4], c32[2], y_align))(roi_b)
         pred_m = jnp.all(fits_m | invalid)
 
+        # img is DEAD on the pallas path (the warps read the channel
+        # planes), so it must not ride the cond operand tuple — a
+        # conditional boundary materializes its operands, and 128
+        # f32 frames are ~300 MB of pure copy traffic per step
+        # (measured ~8% of the tracked step, same structure).
         def mesh_with(cfg):
             def run(ops):
-                ib, pb, rb = ops
+                pb, rb = ops
                 return jax.vmap(
-                    lambda img, pl, rr: self._mesh_half(
-                        img, pl, rr, image_size, "pallas", cfg)
-                )(ib, pb, rb)
+                    lambda pl, rr: self._mesh_half(
+                        None, pl, rr, image_size, "pallas", cfg)
+                )(pb, rb)
             return run
 
         mesh, mscore, env_m, lroi, rroi = jax.lax.cond(
             pred_m, mesh_with(c32), mesh_with(c16),
-            (img_b, planes_b, roi_b))
+            (planes_b, roi_b))
 
         def iris_fits(r):
             return self._roi_fits(r, (self.iris_w, self.iris_h), True,
@@ -636,17 +647,17 @@ class FaceCascade(_DetectorBase):
 
         def iris_with(cfg):
             def run(ops):
-                ib, pb, m_, lr, rr = ops
+                pb, m_, lr, rr = ops
                 return jax.vmap(
-                    lambda img, pl, mm, l_, r_: self._iris_half(
-                        img, pl, mm, l_, r_, image_size, "pallas",
+                    lambda pl, mm, l_, r_: self._iris_half(
+                        None, pl, mm, l_, r_, image_size, "pallas",
                         cfg)
-                )(ib, pb, m_, lr, rr)
+                )(pb, m_, lr, rr)
             return run
 
         refined, l_ir, r_ir, env_i = jax.lax.cond(
             pred_i, iris_with(c32), iris_with(c16),
-            (img_b, planes_b, mesh, lroi, rroi))
+            (planes_b, mesh, lroi, rroi))
 
         assemble = partial(self._assemble_result,
                            image_size=image_size)
@@ -696,7 +707,7 @@ class EmbedCascade(_DetectorBase):
                  max_faces: int = 1,
                  nms_top_m: int = 128,
                  input_layout: str = "hwc",
-                 warp_profile: str = "coverage"):
+                 warp_profile: str = "auto"):
         self._init_detection(detection_model, model_path, compute_dtype,
                              warp_method, max_faces, nms_top_m,
                              input_layout, warp_profile)

@@ -90,7 +90,7 @@ class FaceTracker:
                  redetect_every: Optional[int] = None,
                  input_layout: str = "hwc",
                  repair_batch: Optional[int] = None,
-                 warp_profile: str = "coverage"):
+                 warp_profile: str = "auto"):
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
                                    compute_dtype=compute_dtype,
@@ -136,78 +136,20 @@ class FaceTracker:
                               valid.astype(jnp.float32), valid,
                               image_size, warp, face_roi_abs=roi_abs)
 
-    def _use_auto(self, image_size):
-        """The tracked path dispatches rt per batch (like the
-        cascade's "auto" profile) when opted in and on the resident
-        pallas tier."""
-        from .ops.pallas_warp import planes_fit_vmem
-        c = self.cascade
-        w, h = image_size
-        return (getattr(c, "_warp_profile", "coverage") == "auto"
-                and c._warp == "pallas" and planes_fit_vmem(h, w))
-
-    def _tracked_batched_auto(self, images, safe_rois, valid,
-                              image_size):
-        """The detection-free step for ALL streams with per-batch rt
-        dispatch: state ROIs are known BEFORE any compute, so the
-        rt32-feasibility predicates are free; two HLO conditionals
-        pick the speed or coverage config per warp stage (the same
-        shared _mesh_half/_iris_half the cascade's auto profile
-        uses)."""
-        c = self.cascade
-        c32, c16 = c._AUTO_CFG32, c._AUTO_CFG16
-        y_align = c._plane_cfg(image_size)[1]
-        img_b, planes_b = jax.vmap(
-            lambda im: c._prepare_frame(im, image_size))(images)
-        invalid = jnp.logical_not(valid)
-
-        fits_m = jax.vmap(lambda rr: c._roi_fits(
-            rr, (c.mesh_w, c.mesh_h), False, c32[0], c32[3], c32[4],
-            c32[2], y_align))(safe_rois)
-        pred_m = jnp.all(fits_m | invalid)
-
-        def mesh_with(cfg):
-            def run(ops):
-                ib, pb, rb = ops
-                return jax.vmap(
-                    lambda img, pl, rr: c._mesh_half(
-                        img, pl, rr, image_size, "pallas", cfg)
-                )(ib, pb, rb)
-            return run
-
-        mesh, mscore, env_m, lroi, rroi = jax.lax.cond(
-            pred_m, mesh_with(c32), mesh_with(c16),
-            (img_b, planes_b, safe_rois))
-
-        def iris_fits(rr):
-            return c._roi_fits(rr, (c.iris_w, c.iris_h), True, c32[0],
-                               c32[3], c32[5], c32[2], y_align)
-
-        pred_i = jnp.all((jax.vmap(iris_fits)(lroi)
-                          & jax.vmap(iris_fits)(rroi)) | invalid)
-
-        def iris_with(cfg):
-            def run(ops):
-                ib, pb, m_, lr, rr = ops
-                return jax.vmap(
-                    lambda img, pl, mm, l_, r_: c._iris_half(
-                        img, pl, mm, l_, r_, image_size, "pallas",
-                        cfg)
-                )(ib, pb, m_, lr, rr)
-            return run
-
-        refined, l_ir, r_ir, env_i = jax.lax.cond(
-            pred_i, iris_with(c32), iris_with(c16),
-            (img_b, planes_b, mesh, lroi, rroi))
-
-        det_b = jax.vmap(
-            lambda rr: _det_from_roi(rr, image_size))(safe_rois)
-        from functools import partial
-        assemble = partial(c._assemble_result, image_size=image_size)
-        return jax.vmap(assemble)(det_b, valid.astype(jnp.float32),
-                                  valid, safe_rois, mesh, refined,
-                                  mscore, lroi, rroi, l_ir, r_ir,
-                                  env_m & env_i)
+    # NOTE (round 3, CLOSED as a negative): a per-batch rt dispatch for
+    # the tracked path ("auto"-style — two HLO conditionals around the
+    # shared _mesh_half/_iris_half, predicates free off the state ROIs)
+    # was built and measured SLOWER than the fused single-program path:
+    # 10.1k vs 11.0k fps same-session at batch 128 (bench), because a
+    # conditional boundary materializes its operands — the ~361 MB of
+    # resident f32 planes crossing two conds cost ~2.2 ms/step of raw
+    # copies (device trace: tools/tpu_tracked_trace.py, copy 2.53 vs
+    # 0.41 ms/step) while the rt32 branch saves only ~1.0 ms of warp
+    # time.  Rebuilding planes inside the branches trades the copies
+    # for ~1.3 ms of duplicated pad+convert — still a net loss.  The
+    # cascade's _batched_auto keeps its dispatch because detection
+    # amortizes the boundary cost there (measured +6% end-to-end);
+    # the tracked path always runs the fused program below.
 
     def _step_fn(self, images, roi, valid, force_detect, image_size):
         c = self.cascade
@@ -226,14 +168,10 @@ class FaceTracker:
             dummy = jnp.array([w / 2.0, h / 2.0, 64.0, 64.0, 0.0],
                               jnp.float32)
             safe = jnp.where(valid[:, None], roi, dummy)
-            if self._use_auto(image_size):
-                res = self._tracked_batched_auto(images, safe, valid,
-                                                 image_size)
-            else:
-                res = jax.vmap(
-                    lambda im, rr, v: self._tracked_single(im, rr, v,
-                                                           image_size)
-                )(images, safe, valid)
+            res = jax.vmap(
+                lambda im, rr, v: self._tracked_single(im, rr, v,
+                                                       image_size)
+            )(images, safe, valid)
             # unusable tracked output: no entry ROI, or presence lost
             lost = jnp.logical_not(valid & res.mesh_valid)
 
@@ -410,7 +348,7 @@ class MultiFaceTracker:
                  redetect_every: Optional[int] = None,
                  input_layout: str = "hwc",
                  repair_batch: Optional[int] = None,
-                 warp_profile: str = "coverage"):
+                 warp_profile: str = "auto"):
         assert max_faces >= 1
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
