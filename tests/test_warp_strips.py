@@ -394,6 +394,58 @@ def test_auto_profile_dispatch():
     assert n_cond >= 2, n_cond
 
 
+def test_auto_profile_multiface_lowers_rt_conditionals():
+    """The auto profile's per-batch rt dispatch covers max_faces > 1
+    too (all K faces of all frames vote on the predicates): the
+    lowered K-face program carries the two rt branch points instead
+    of silently falling back to the coverage config."""
+    import jax
+
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+
+    auto = FaceCascade(FaceDetectionModel.SHORT, max_faces=2,
+                       warp_method="pallas", warp_profile="auto")
+    text = auto._get_jitted(360, 540).lower(
+        jax.ShapeDtypeStruct((1, 360, 540, 3), np.uint8)).as_text()
+    n_cond = text.count("stablehlo.case") + text.count("stablehlo.if")
+    assert n_cond >= 2, n_cond
+
+
+@pytest.mark.slow
+def test_auto_profile_multiface_matches_coverage():
+    """K-face auto dispatch end-to-end on a crowded scene: same valid
+    faces and meshes (within the kernel-rounding budget) as the
+    coverage profile, with per-face results in matching slots."""
+    from PIL import Image
+
+    from tpu_face.models.face_detection import FaceDetectionModel
+    from tpu_face.pipeline import FaceCascade
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    crop = img[50:240, 170:360]
+    ch, cw_ = crop.shape[:2]
+    canvas = np.zeros((2 * ch, 2 * cw_, 3), np.uint8)
+    for r in range(2):
+        for c in range(2):
+            canvas[r * ch:(r + 1) * ch, c * cw_:(c + 1) * cw_] = crop
+    h, w = canvas.shape[:2]
+
+    kw = dict(max_faces=4, nms_top_m=512, warp_method="pallas")
+    ra = FaceCascade(FaceDetectionModel.FULL_SPARSE,
+                     warp_profile="auto", **kw).infer_batch(
+                         canvas[None])
+    rc = FaceCascade(FaceDetectionModel.FULL_SPARSE,
+                     warp_profile="coverage", **kw).infer_batch(
+                         canvas[None])
+    va, vc = np.asarray(ra.mesh_valid[0]), np.asarray(rc.mesh_valid[0])
+    assert va.sum() == 4 and (va == vc).all()
+    d_px = np.abs(np.asarray(ra.mesh[0]) - np.asarray(rc.mesh[0])) \
+        * np.array([float(w), float(h), float(w)])
+    assert d_px[va].max() <= 1.0, d_px[va].max()
+
+
 def test_speed_profile_accuracy_on_baseline():
     """warp_profile='speed' (rt32 resident) keeps the BASELINE parity
     on man.jpg (the probe's measured config)."""

@@ -58,8 +58,15 @@ def main():
     gt_nose = (263.85 * sx, 143.37 * sy)
 
     # (label, rt, mesh_band, iris_band)
+    # Coverage algebra vs the rt8/b192 baseline over FRAME-BOUNDED
+    # content (mesh ROI side <= 1.5*2160 px, s <= 16.9):
+    # y16 = y8 + rt_delta*dydv <= 192 + 8*16.9*cos <= 327 -> mesh band
+    # 336 (16-aligned) covers everything rt8/192 covers; 288 covers
+    # the rot-0 full-height face but trims tilted close-ups beyond
+    # ~0 deg (rt8/192 holds them to ~11 deg); 224 trims further.
     CONFIGS = [
         ("rt8/b192  (current)", 8, 192, 192),
+        ("rt16/b336 (parity)", 16, 336, 224),
         ("rt16/b288", 16, 288, 192),
         ("rt16/b224", 16, 224, 160),
     ]

@@ -107,11 +107,11 @@ class _DetectorBase:
         if key not in self._jitted:
             from .ops.pallas_warp import planes_fit_vmem
             if (getattr(self, "_warp_profile", "coverage") == "auto"
-                    and getattr(self, "max_faces", 1) == 1
                     and self._warp == "pallas"
                     and hasattr(self, "_mesh_net")
                     and planes_fit_vmem(h, w)):
-                # per-batch rt dispatch (FaceCascade, resident tier)
+                # per-batch rt dispatch (FaceCascade, resident tier;
+                # any max_faces — all K faces vote on the predicates)
                 fn = partial(self._batched_auto, image_size=(w, h))
                 self._jitted[key] = jax.jit(fn)
             else:
@@ -593,14 +593,14 @@ class FaceCascade(_DetectorBase):
 
     def _batched_auto(self, images, image_size):
         """The "auto" profile's batched program (resident tier,
-        max_faces=1, pallas): after detection, TWO batch-level HLO
+        pallas, any max_faces): after detection, TWO batch-level HLO
         conditionals run the mesh half and the iris half at rt=32
         (the measured +7% config) whenever every valid face's EXACT
-        ROI fits the rt32 envelope, falling back to the rt=16
-        coverage config otherwise.  Per batch, no host sync, and no
-        coverage loss: infeasible geometry selects the wide config
-        instead of flagging envelope_ok the way a hard rt=32 profile
-        would."""
+        ROI fits the rt32 envelope — all K faces of all frames vote —
+        falling back to the rt=16 coverage config otherwise.  Per
+        batch, no host sync, and no coverage loss: infeasible
+        geometry selects the wide config instead of flagging
+        envelope_ok the way a hard rt=32 profile would."""
         c32, c16 = self._AUTO_CFG32, self._AUTO_CFG16
         y_align = self._plane_cfg(image_size)[1]
         img_b, planes_b = jax.vmap(
@@ -608,29 +608,31 @@ class FaceCascade(_DetectorBase):
         d, s, v = jax.vmap(
             lambda img, pl: self._detect_stage(img, pl, image_size,
                                                "pallas")
-        )(img_b, planes_b)
-        det0, s0, v0 = d[:, 0], s[:, 0], v[:, 0]
-        roi_b = jax.vmap(
-            lambda dd: self._face_roi_from_det(dd, image_size))(det0)
+        )(img_b, planes_b)                          # [B, K, ...]
+        roi_b = jax.vmap(jax.vmap(
+            lambda dd: self._face_roi_from_det(dd, image_size)))(d)
 
-        invalid = jnp.logical_not(v0)
-        fits_m = jax.vmap(lambda r: self._roi_fits(
+        invalid = jnp.logical_not(v)                # [B, K]
+        fits_m = jax.vmap(jax.vmap(lambda r: self._roi_fits(
             r, (self.mesh_w, self.mesh_h), False, c32[0], c32[3],
-            c32[4], c32[2], y_align))(roi_b)
+            c32[4], c32[2], y_align)))(roi_b)
         pred_m = jnp.all(fits_m | invalid)
 
-        # img is DEAD on the pallas path (the warps read the channel
-        # planes), so it must not ride the cond operand tuple — a
-        # conditional boundary materializes its operands, and 128
-        # f32 frames are ~300 MB of pure copy traffic per step
-        # (measured ~8% of the tracked step, same structure).
+        # Per-face halves under two nested vmaps — the inner (face)
+        # level shares the frame's planes, exactly like _single's face
+        # vmap.  img is DEAD on the pallas path (the warps read the
+        # channel planes), so it must not ride the cond operand
+        # tuples — a conditional boundary materializes its operands,
+        # and 128 f32 frames are ~300 MB of pure copy traffic per
+        # step (the cost that killed the tracked path's dispatch, see
+        # tracking.py; detection amortizes it here).
         def mesh_with(cfg):
             def run(ops):
                 pb, rb = ops
-                return jax.vmap(
-                    lambda pl, rr: self._mesh_half(
+                return jax.vmap(lambda pl, rr_k: jax.vmap(
+                    lambda rr: self._mesh_half(
                         None, pl, rr, image_size, "pallas", cfg)
-                )(pb, rb)
+                )(rr_k))(pb, rb)
             return run
 
         mesh, mscore, env_m, lroi, rroi = jax.lax.cond(
@@ -642,17 +644,18 @@ class FaceCascade(_DetectorBase):
                                   c32[0], c32[3], c32[5], c32[2],
                                   y_align)
 
-        pred_i = jnp.all((jax.vmap(iris_fits)(lroi)
-                          & jax.vmap(iris_fits)(rroi)) | invalid)
+        pred_i = jnp.all((jax.vmap(jax.vmap(iris_fits))(lroi)
+                          & jax.vmap(jax.vmap(iris_fits))(rroi))
+                         | invalid)
 
         def iris_with(cfg):
             def run(ops):
                 pb, m_, lr, rr = ops
-                return jax.vmap(
-                    lambda pl, mm, l_, r_: self._iris_half(
+                return jax.vmap(lambda pl, mk, lk, rk: jax.vmap(
+                    lambda mm, l_, r_: self._iris_half(
                         None, pl, mm, l_, r_, image_size, "pallas",
                         cfg)
-                )(pb, m_, lr, rr)
+                )(mk, lk, rk))(pb, m_, lr, rr)
             return run
 
         refined, l_ir, r_ir, env_i = jax.lax.cond(
@@ -661,9 +664,13 @@ class FaceCascade(_DetectorBase):
 
         assemble = partial(self._assemble_result,
                            image_size=image_size)
-        return jax.vmap(assemble)(det0, s0, v0, roi_b, mesh, refined,
-                                  mscore, lroi, rroi, l_ir, r_ir,
-                                  env_m & env_i)
+        res = jax.vmap(jax.vmap(assemble))(
+            d, s, v, roi_b, mesh, refined, mscore, lroi, rroi, l_ir,
+            r_ir, env_m & env_i)
+        if self.max_faces == 1:
+            # match _single's contract: no face axis at max_faces=1
+            res = jax.tree_util.tree_map(lambda a: a[:, 0], res)
+        return res
 
     # batched API (__call__ / infer_batch): inherited from
     # _DetectorBase; returns CascadeResult
