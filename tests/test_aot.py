@@ -1,0 +1,88 @@
+"""AOT export/load roundtrip (tpu_face.aot) vs the live programs.
+
+The stablehlo artifact must reproduce the live jitted program exactly
+(same trace, weights baked as constants), and ``attach`` must route
+the ordinary host API through the loaded program.  Reference has no
+AOT story (TFLite interpreters are built at runtime,
+face_detection.rs:146-203) — this subsystem is TPU-native serving
+infrastructure.  The stateful tracker-step roundtrip lives in the
+slow lane (its program compiles all three paths).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_face import aot
+from tpu_face.pipeline import FaceCascade
+from tpu_face.tracking import FaceTracker
+from tpu_face.utils.image_io import load_image
+
+MAN = "/root/reference/test_data/man.jpg"
+
+
+@pytest.fixture(scope="module")
+def frames():
+    img = load_image(MAN)
+    return np.stack([img, img[:, ::-1]])
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory, frames):
+    """(path, live result) — the cascade exported once per module."""
+    cascade = FaceCascade()
+    live = cascade(frames)
+    b, h, w, _ = frames.shape
+    p = aot.save(cascade, tmp_path_factory.mktemp("aot") / "cascade.aot",
+                 batch=b, height=h, width=w)
+    return p, live
+
+
+def test_cascade_roundtrip_and_attach(artifact, frames):
+    p, live = artifact
+    assert p.stat().st_size > 1_000_000  # weights baked in
+    _, h, w, _ = frames.shape
+
+    fresh = FaceCascade()
+    prog = aot.attach(fresh, p)
+    assert prog.meta["cls"] == "FaceCascade"
+    assert prog.meta["layout"] == "hwc"
+    assert (h, w) in fresh._jitted
+    out = fresh.infer_batch(frames)
+    # identical program -> identical numerics (not just within budget)
+    np.testing.assert_allclose(np.asarray(live.mesh),
+                               np.asarray(out.mesh), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(live.score),
+                               np.asarray(out.score), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(live.mesh_valid),
+                                  np.asarray(out.mesh_valid))
+
+
+def test_attach_rejects_mismatches(artifact):
+    p, _ = artifact
+    with pytest.raises(ValueError, match="FaceCascade"):
+        aot.attach(FaceTracker(), p)
+    with pytest.raises(ValueError, match="layout"):
+        aot.attach(FaceCascade(input_layout="planar"), p)
+
+
+@pytest.mark.slow
+def test_tracker_step_roundtrip(tmp_path, frames):
+    b, h, w, _ = frames.shape
+    tracker = FaceTracker()
+    live0 = tracker.step(frames)
+    live1 = tracker.step(frames)
+
+    saver = FaceTracker()
+    p = aot.save(saver, tmp_path / "tracker.aot", batch=b,
+                 height=h, width=w)
+    fresh = FaceTracker()
+    aot.attach(fresh, p)
+    out0 = fresh.step(frames)
+    out1 = fresh.step(frames)
+    # stateful equivalence across a full-detect step AND a tracked step
+    for a, o in ((live0, out0), (live1, out1)):
+        np.testing.assert_allclose(np.asarray(a.mesh),
+                                   np.asarray(o.mesh), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a.mesh_valid),
+                                      np.asarray(o.mesh_valid))
+    assert np.asarray(fresh.tracking).all()

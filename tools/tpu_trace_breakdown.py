@@ -28,6 +28,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--logdir", default="/tmp/tpu_face_trace")
+    ap.add_argument("--max-faces", type=int, default=1)
+    ap.add_argument("--crowd", action="store_true",
+                    help="2x2 face-crop grid canvas + FULL_SPARSE "
+                         "(the tools/tpu_multiface_times.py scene)")
     args = ap.parse_args()
 
     import jax
@@ -43,9 +47,20 @@ def main():
     B = args.batch
     log = lambda m: print(m, file=sys.stderr, flush=True)
     img = load_image("/root/reference/test_data/man.jpg")
+    if args.crowd:
+        crop = img[50:240, 170:360]
+        ch, cw = crop.shape[:2]
+        img = np.zeros((2 * ch, 2 * cw, 3), np.uint8)
+        for r in range(2):
+            for c in range(2):
+                img[r * ch:(r + 1) * ch, c * cw:(c + 1) * cw] = crop
     batch = jnp.asarray(np.broadcast_to(img, (B,) + img.shape).copy())
-    cascade = FaceCascade(FaceDetectionModel.BACK_CAMERA,
-                          compute_dtype=jnp.bfloat16)
+    cascade = FaceCascade(
+        FaceDetectionModel.FULL_SPARSE if args.crowd
+        else FaceDetectionModel.BACK_CAMERA,
+        max_faces=args.max_faces,
+        nms_top_m=2304 if args.crowd else 128,
+        compute_dtype=jnp.bfloat16)
     jax.block_until_ready(cascade(batch))
     jax.block_until_ready(cascade(batch))
 

@@ -1,0 +1,210 @@
+"""Ahead-of-time program export — serving cold-start without tracing.
+
+The reference builds TFLite interpreters from flatbuffers at runtime
+(face_detection.rs:146-203); the TPU-native equivalent of a deployable
+inference artifact is the traced (and optionally compiled) XLA program
+itself, weights baked in as constants.  Two artifact kinds:
+
+- ``"stablehlo"`` (default, portable): ``jax.export`` serializes the
+  traced StableHLO.  Loading skips Python tracing — the expensive
+  host-side part of cascade cold-start (the fused programs take tens
+  of seconds to trace; ``warp_profile="auto"`` traces both rt
+  branches) — and compiles through the persistent compilation cache,
+  so a warmed serving host pays neither trace nor compile.  Artifacts
+  are platform-tagged (cpu vs tpu) and survive library-code changes:
+  the program is frozen at save time.
+- ``"executable"`` (opt-in): ``jax.experimental.serialize_executable``
+  pickles the compiled PJRT executable — zero compile at load — but
+  is only valid on the same device/runtime generation it was saved
+  on, and not every PJRT backend supports it (``save`` raises a
+  ``ValueError`` from the backend if unsupported).
+
+``save()`` writes one artifact for one (pipeline class, batch,
+height, width) program; ``load()`` returns a callable; ``attach()``
+installs a loaded program back into a live pipeline/tracker's jit
+cache so the ordinary host API (``__call__`` / ``infer_batch`` /
+``step``) runs the pre-exported program.
+
+Artifacts are pickle containers — load only artifacts you produced
+(same trust model as TFLite flatbuffers or safetensors-with-pickle).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+_FORMAT = "tpu-face-aot-v1"
+
+_registered = False
+
+
+def _register_result_types():
+    """Register the result/state namedtuples with jax.export (idempotent)."""
+    global _registered
+    if _registered:
+        return
+    from jax import export
+
+    from .pipeline import CascadeResult, EmbedResult
+    from .tracking import MultiTrackerState, TrackerState
+
+    for cls in (CascadeResult, EmbedResult, TrackerState,
+                MultiTrackerState):
+        export.register_namedtuple_serialization(
+            cls, serialized_name=f"tpu_face.{cls.__name__}")
+    _registered = True
+
+
+def _image_spec(layout: str, batch: int, h: int, w: int):
+    shape = ((batch, 3, h, w) if layout == "planar"
+             else (batch, h, w, 3))
+    return jax.ShapeDtypeStruct(shape, jnp.uint8)
+
+
+def _program_and_specs(obj, batch: int, h: int, w: int):
+    """The jitted program for ``obj`` at (h, w) plus the argument
+    ShapeDtypeStructs its trace needs at batch size ``batch``."""
+    from .pipeline import _DetectorBase
+    from .tracking import FaceTracker, MultiFaceTracker
+
+    if isinstance(obj, _DetectorBase):
+        return (obj._get_jitted(h, w),
+                (_image_spec(obj._layout, batch, h, w),))
+    if isinstance(obj, MultiFaceTracker):  # before FaceTracker: no subclassing, but explicit
+        k = obj.max_faces
+        return (obj._get_jitted((h, w)), (
+            _image_spec(obj.cascade._layout, batch, h, w),
+            jax.ShapeDtypeStruct((batch, k, 5), jnp.float32),
+            jax.ShapeDtypeStruct((batch, k), jnp.bool_),
+            jax.ShapeDtypeStruct((batch,), jnp.bool_),
+            jax.ShapeDtypeStruct((), jnp.bool_),
+        ))
+    if isinstance(obj, FaceTracker):
+        return (obj._get_jitted((h, w)), (
+            _image_spec(obj.cascade._layout, batch, h, w),
+            jax.ShapeDtypeStruct((batch, 5), jnp.float32),
+            jax.ShapeDtypeStruct((batch,), jnp.bool_),
+            jax.ShapeDtypeStruct((), jnp.bool_),
+        ))
+    raise TypeError(f"cannot export {type(obj).__name__}; expected a "
+                    "FaceCascade/EmbedCascade/FaceDetection-style "
+                    "pipeline, FaceTracker or MultiFaceTracker")
+
+
+def _meta(obj, batch, h, w, kind):
+    layout = (obj.cascade._layout if hasattr(obj, "cascade")
+              else obj._layout)
+    return {
+        "format": _FORMAT,
+        "kind": kind,
+        "cls": type(obj).__name__,
+        "batch": batch,
+        "height": h,
+        "width": w,
+        "layout": layout,
+        "platforms": None,  # filled for stablehlo
+        "jax": jax.__version__,
+    }
+
+
+def save(obj, path, batch: int, height: int, width: int,
+         kind: str = "stablehlo") -> Path:
+    """Export ``obj``'s batched program at the given geometry.
+
+    ``obj``: a ``FaceCascade`` / ``EmbedCascade`` (or any
+    ``_DetectorBase``), a ``FaceTracker`` or a ``MultiFaceTracker``.
+    The batch size and frame geometry are baked into the artifact
+    (XLA programs are static-shape); save one artifact per serving
+    configuration.
+    """
+    assert kind in ("stablehlo", "executable"), kind
+    path = Path(path)
+    fn, specs = _program_and_specs(obj, batch, height, width)
+    meta = _meta(obj, batch, height, width, kind)
+    if kind == "stablehlo":
+        from jax import export
+
+        _register_result_types()
+        exp = export.export(fn)(*specs)
+        meta["platforms"] = list(exp.platforms)
+        container = {"meta": meta, "payload": exp.serialize()}
+    else:
+        from jax.experimental import serialize_executable as se
+
+        compiled = fn.lower(*specs).compile()
+        payload, in_tree, out_tree = se.serialize(compiled)
+        meta["platforms"] = [jax.devices()[0].platform]
+        container = {"meta": meta, "payload": payload,
+                     "in_tree": pickle.dumps(in_tree),
+                     "out_tree": pickle.dumps(out_tree)}
+    with open(path, "wb") as f:
+        pickle.dump(container, f)
+    return path
+
+
+class LoadedProgram:
+    """A deserialized AOT artifact: ``meta`` dict + ``call``.
+
+    ``call`` takes exactly the positional device arrays the saved
+    program was exported with (images for cascades; (images, roi,
+    valid, force) for trackers) at the saved batch/geometry.
+    """
+
+    def __init__(self, meta, call):
+        self.meta = meta
+        self.call = call
+
+    def __call__(self, *args):
+        return self.call(*args)
+
+
+def load(path) -> LoadedProgram:
+    with open(Path(path), "rb") as f:
+        container = pickle.load(f)
+    meta = container["meta"]
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"not a {_FORMAT} artifact: {path}")
+    if meta["kind"] == "stablehlo":
+        from jax import export
+
+        _register_result_types()
+        exp = export.deserialize(container["payload"])
+        call = jax.jit(exp.call)
+    else:
+        from jax.experimental import serialize_executable as se
+
+        compiled = se.deserialize_and_load(
+            container["payload"],
+            pickle.loads(container["in_tree"]),
+            pickle.loads(container["out_tree"]))
+        call = compiled
+    return LoadedProgram(meta, call)
+
+
+def attach(obj, path) -> LoadedProgram:
+    """Load an artifact and install it as ``obj``'s program for the
+    saved geometry, so the normal host API uses it (no trace).
+
+    Validates that the artifact was saved from the same pipeline
+    class and input layout; the batch size must then match at call
+    time (XLA static shapes — a mismatched batch raises with the
+    artifact's expected shape in the error).
+    """
+    prog = load(path)
+    meta = prog.meta
+    cls = type(obj).__name__
+    if meta["cls"] != cls:
+        raise ValueError(
+            f"artifact was saved from {meta['cls']}, not {cls}")
+    layout = (obj.cascade._layout if hasattr(obj, "cascade")
+              else obj._layout)
+    if meta["layout"] != layout:
+        raise ValueError(f"artifact layout {meta['layout']!r} != "
+                         f"pipeline layout {layout!r}")
+    # cascades key their jit cache by (h, w); trackers by hw=(h, w)
+    obj._jitted[(meta["height"], meta["width"])] = prog.call
+    return prog
