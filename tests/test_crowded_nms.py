@@ -2,10 +2,11 @@
 
 The reference's weighted NMS iterates over ALL above-threshold detections
 until the pool is empty (reference nms.rs:56-124); the repo's fixed-shape
-program bounds the candidate pool with ``nms_top_m`` (exact whenever the
-above-threshold anchor count fits).  These tests pin the semantics on a
-many-face scene driven through the real detector net, and on a synthetic
-pool far larger than the default bound.
+program is an exact full-pool scan at any ``max_faces`` (per-iteration
+argmax + on-the-fly IoU row — ``nms_top_m`` no longer truncates it).
+These tests pin the semantics on a many-face scene driven through the
+real detector net, and on a synthetic pool far larger than the old
+default bound.
 """
 
 import numpy as np

@@ -384,3 +384,43 @@ def load_model_fn(npz_path, compute_dtype=jnp.float32):
     graph = Graph(npz_path)
     fn = build_jax_fn(graph, compute_dtype=compute_dtype)
     return graph, jax.jit(fn)
+
+
+def flatten_batching(net):
+    """Wrap a batched network fn so vmap stacks FLATTEN into its
+    leading batch dim instead of nesting.
+
+    Under ``vmap(vmap(net))`` — the multi-face cascade's shape: an
+    outer frame batch and an inner face batch — XLA sees the CNN with
+    two batch dimensions and lowers it ~3x slower than the same
+    effective batch flat (nested 7.99 ms vs flat 2.57 ms for the mesh
+    net at effective batch 128, tools/tpu_kface_probe.py).  This
+    ``jax.custom_vmap`` rule reshapes the mapped axis into the leading
+    batch dim and calls the wrapped fn recursively, so ANY depth of
+    vmap nesting collapses to one flat batch (each nesting level
+    re-triggers the rule).  Numerics are the net's own at the flat
+    batch shape — the same program the single-face cascade runs.
+
+    ``net`` must take one array with a leading batch dim and return a
+    tuple of arrays with the same leading batch dim (build_jax_fn's
+    contract).
+    """
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(x):
+        return net(x)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x):  # noqa: ARG001
+        if not in_batched[0]:
+            out = f(x)
+            return out, jax.tree_util.tree_map(lambda _: False, out)
+        b0, b1 = x.shape[0], x.shape[1]
+        out = f(x.reshape((b0 * b1,) + x.shape[2:]))
+        out = jax.tree_util.tree_map(
+            lambda o: o.reshape((b0, b1) + o.shape[1:]), out)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return f

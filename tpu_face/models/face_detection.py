@@ -91,12 +91,13 @@ class FaceDetection:
             anchors_lib.ssd_generate_anchors(_SSD_OPTS[model_type]))
         _, self.in_h, self.in_w, _ = self.graph.input_shape
         self.max_faces = max_faces
-        # Static candidate-pool bound for the fixed-shape weighted NMS:
-        # only the nms_top_m highest-scoring anchors enter the merge.
-        # The reference's sequential loop (nms.rs:56-124) is unbounded;
-        # 128 is exact for any scene whose above-threshold anchor count
-        # fits, and crowded scenes can raise it up to the anchor count
-        # (896/2304) to recover the unbounded semantics.
+        # Historical candidate-pool bound: the weighted NMS is now an
+        # exact full-pool scan at any max_faces (ops/postprocess.py —
+        # per-iteration argmax + on-the-fly IoU row, no sort, no
+        # truncation), matching the reference's unbounded sequential
+        # loop (nms.rs:56-124) for every scene.  Kept as a field/knob
+        # for API compatibility; it no longer affects weighted-NMS
+        # accuracy or cost.
         self.nms_top_m = nms_top_m
         self._warp = image_ops.resolve_warp_method(warp_method)
         self._jitted = {}

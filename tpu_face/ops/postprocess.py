@@ -5,7 +5,8 @@ Replaces the reference's data-dependent loops with masked tensor programs:
 * ``decode_boxes``        — reference face_detection.rs:269-296
 * ``clamped_sigmoid``     — reference face_detection.rs:300-314 (±80 clamp)
 * ``weighted_nms``        — reference nms.rs:56-124 as a static-trip-count
-  masked merge over a score-sorted candidate set (MediaPipe weighted NMS)
+  masked merge: per-iteration score argmax + on-the-fly IoU row over the
+  full candidate pool (MediaPipe weighted NMS, exact at any N)
 * ``plain_nms``           — reference nms.rs:19-53
 * ``letterbox_removal``   — reference transform.rs:115-142
 * ``project_landmarks``   — reference transform.rs:351-432
@@ -118,7 +119,8 @@ def weighted_nms(data: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
       scores: [N] sigmoid scores.
       valid: [N] bool (score threshold & box validity).
       max_outputs: static number of merged detections to emit.
-      top_m: static candidate-pool bound (score-sorted truncation).
+      top_m: unused by this path since the exact full-pool rewrite
+        (kept for API compatibility; ``plain_nms`` still uses it).
 
     Returns:
       (out_data [T, P, 2], out_scores [T], out_valid [T])
@@ -133,24 +135,50 @@ def weighted_nms(data: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     if max_outputs == 1:
         return _weighted_nms_top1(data, scores, valid, threshold)
 
-    d, sc, v = _sort_and_truncate(data, scores, valid, top_m)
-    boxes = jnp.stack([d[:, 0, 0], d[:, 0, 1], d[:, 1, 0], d[:, 1, 1]],
-                      axis=-1)
-    iou = _iou_matrix(boxes)
+    # Exact sequential semantics over the FULL candidate pool — no
+    # sort and no N^2 IoU matrix.  Each scan iteration argmaxes the
+    # alive scores (argmax returns the FIRST max index, matching the
+    # reference's stable descending sort tie-break) and builds the top
+    # row's IoU against everything on the fly: O(max_outputs * N)
+    # instead of a full top_k sort (k=N lowers as a sort) plus an
+    # [N, N] matrix.  At N=2304 this is ~7 ms/step faster per crowded
+    # batch-32 frame set (tools/tpu_kface_probe.py) and makes the
+    # ``top_m`` truncation unnecessary for accuracy: the pool is
+    # always exact, as in reference nms.rs:56-124.
+    d = jnp.asarray(data)
+    sc = jnp.asarray(scores)
+    v = jnp.asarray(valid)
+    xmin, ymin = d[:, 0, 0], d[:, 0, 1]
+    xmax, ymax = d[:, 1, 0], d[:, 1, 1]
+    w_ = xmax - xmin
+    h_ = ymax - ymin
+    area = jnp.where((w_ > 0) & (h_ > 0), w_ * h_, 0.0)
+    neg = jnp.float32(-1e30)
+    idx = jnp.arange(v.shape[0])
 
     def body(carry, _):
         alive, stopped = carry
         any_alive = jnp.any(alive)
-        top = jnp.argmax(alive)  # first alive index (score-sorted)
-        cand = alive & (iou[top] > threshold)
+        top = jnp.argmax(jnp.where(alive, sc, neg))
+        top_box = d[top]
+        ixmin = jnp.maximum(xmin, top_box[0, 0])
+        iymin = jnp.maximum(ymin, top_box[0, 1])
+        ixmax = jnp.minimum(xmax, top_box[1, 0])
+        iymax = jnp.minimum(ymax, top_box[1, 1])
+        iw = ixmax - ixmin
+        ih = iymax - iymin
+        inter = jnp.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+        union = area + area[top] - inter
+        iou_row = jnp.where(union > 0, inter / union, 0.0)
+        cand = alive & (iou_row > threshold)
         any_cand = jnp.any(cand)
         w = jnp.where(cand, sc, 0.0)
         wsum = jnp.maximum(w.sum(), 1e-12)
         merged = jnp.tensordot(w, d, axes=1) / wsum
-        out_d = jnp.where(any_cand, merged, d[top])
+        out_d = jnp.where(any_cand, merged, top_box)
         out_s = sc[top]
         out_v = any_alive & ~stopped
-        alive = alive & ~cand & ~(jnp.arange(alive.shape[0]) == top)
+        alive = alive & ~cand & (idx != top)
         stopped = stopped | (~any_cand)
         return (alive, stopped), (out_d, out_s, out_v)
 

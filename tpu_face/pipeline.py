@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compiler import Graph, build_jax_fn
+from .compiler import Graph, build_jax_fn, flatten_batching
 from .models.face_detection import (_DATA_DIR, _MODEL_FILES, _SSD_OPTS,
                                     FaceDetectionModel)
 from .models.face_landmark import ROI_SCALE as MESH_ROI_SCALE
@@ -368,6 +368,12 @@ class FaceCascade(_DetectorBase):
                                       compute_dtype=compute_dtype)
         self._iris_net = build_jax_fn(iris_graph,
                                       compute_dtype=compute_dtype)
+        if max_faces > 1:
+            # the K-face program runs the per-face stages under nested
+            # [B][K] vmaps; flatten the CNN batch dims or XLA lowers
+            # the convs ~3x slower (lowering.flatten_batching)
+            self._mesh_net = flatten_batching(self._mesh_net)
+            self._iris_net = flatten_batching(self._iris_net)
         _, self.mesh_h, self.mesh_w, _ = mesh_graph.input_shape
         _, self.iris_h, self.iris_w, _ = iris_graph.input_shape
 
@@ -728,6 +734,9 @@ class EmbedCascade(_DetectorBase):
         egraph = Graph(npz)
         self._embed_net = build_jax_fn(egraph,
                                        compute_dtype=compute_dtype)
+        if max_faces > 1:
+            # same nested-vmap flattening as FaceCascade's nets
+            self._embed_net = flatten_batching(self._embed_net)
         _, self.embed_h, self.embed_w, _ = egraph.input_shape
 
     def _embed_face(self, img, planes, det, score, face_valid,
