@@ -119,6 +119,8 @@ def main():
                     help="skip the tracking-under-churn measurement "
                          "(2 streams lose lock per step, repaired by "
                          "the in-step detection sub-batch)")
+    ap.add_argument("--no-multiface", action="store_true",
+                    help="skip the max_faces=4 crowd-scene row")
     ap.add_argument("--no-embed", action="store_true",
                     help="skip the fused detect->crop->embed "
                          "(EmbedCascade) measurement on the demo "
@@ -426,6 +428,51 @@ def main():
             embed_error = str(e)
             _log(f"embed measurement failed: {e}")
 
+    multiface_faces = None
+    multiface_error = None
+    if not args.no_multiface:
+        # K-face crowd scene: a 2x2 grid of the man.jpg face crop,
+        # FULL_SPARSE detector, max_faces=4 — records faces/s of the
+        # vmapped per-face path (flat-batch CNNs + exact full-pool
+        # NMS; tools/tpu_multiface_times.py is the standalone probe)
+        try:
+            from tpu_face.models.face_detection import \
+                FaceDetectionModel
+            from tpu_face.pipeline import FaceCascade
+            from tpu_face.utils.image_io import load_image
+
+            src = load_image("/root/reference/test_data/man.jpg")
+            crop = src[50:240, 170:360]
+            ch, cw = crop.shape[:2]
+            canvas = np.zeros((2 * ch, 2 * cw, 3), np.uint8)
+            for rr in range(2):
+                for cc in range(2):
+                    canvas[rr * ch:(rr + 1) * ch,
+                           cc * cw:(cc + 1) * cw] = crop
+            mb = min(args.batch, 32)
+            mbatch = jnp.asarray(np.stack([canvas] * mb))
+            mcas = FaceCascade(FaceDetectionModel.FULL_SPARSE,
+                               max_faces=4,
+                               compute_dtype=(jnp.bfloat16
+                                              if chosen == "bf16"
+                                              else jnp.float32))
+            r = mcas(mbatch)
+            np.asarray(r.score.ravel()[0])
+            nf = float(np.asarray(r.mesh_valid).sum()) / mb
+            assert nf >= 3.9, f"crowd scene found {nf:.2f}/4 faces"
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = mcas(mbatch)
+            np.asarray(r.score.ravel()[0])
+            dt = time.perf_counter() - t0
+            multiface_faces = mb * args.iters * nf / dt
+            _log(f"multiface (K=4 crowd, batch {mb}): "
+                 f"{multiface_faces:.1f} faces/s "
+                 f"({dt / args.iters * 1e3:.2f} ms/step)")
+        except Exception as e:                      # noqa: BLE001
+            multiface_error = str(e)
+            _log(f"multiface measurement failed: {e}")
+
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
     record = {
         "metric": "cascade_fps_per_chip",
@@ -453,6 +500,10 @@ def main():
         record["embed_fps_per_chip"] = round(embed_fps, 1)
     if embed_error is not None:
         record["embed_error"] = embed_error
+    if multiface_faces is not None:
+        record["multiface_faces_per_s"] = round(multiface_faces, 1)
+    if multiface_error is not None:
+        record["multiface_error"] = multiface_error
     print(json.dumps(record))
 
 

@@ -85,6 +85,28 @@ def main():
             f"faces/frame={n_faces:.2f} env_ok={env.mean():.2f} "
             f"faces/s={fps * n_faces:7.1f}")
 
+    # ---- MultiFaceTracker steady state on the same streams -----------
+    from tpu_face.tracking import MultiFaceTracker
+
+    tr = MultiFaceTracker(FaceDetectionModel.FULL_SPARSE, max_faces=4,
+                          compute_dtype=jnp.bfloat16)
+    res = tr.step(batch)
+    _force(res)
+    res = tr.step(batch)
+    _force(res)
+    locked = np.asarray(tr.tracking)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res = tr.step(batch)
+    _force(res)
+    dt = time.perf_counter() - t0
+    n_faces = np.asarray(res.mesh_valid).sum() / B
+    fps = B * args.iters / dt
+    log(f"multiface tracked: {fps:7.1f} frames/s "
+        f"({dt / args.iters * 1e3:6.2f} ms/step) "
+        f"locked={locked.mean():.2f} faces/frame={n_faces:.2f} "
+        f"faces/s={fps * n_faces:7.1f}")
+
     print("MULTIFACE TIMES OK")
 
 
