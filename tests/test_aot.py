@@ -66,6 +66,50 @@ def test_attach_rejects_mismatches(artifact):
 
 
 @pytest.mark.slow
+def test_executable_kind_roundtrip(tmp_path):
+    """kind="executable" (pickled PJRT binary): zero-compile load.
+
+    Runs in a subprocess with ONE CPU device: the deserialized
+    executable binds to every local device of the reloading client,
+    so under this suite's forced 8-virtual-device CPU mesh a
+    single-device program can't be re-executed (upstream
+    serialize_executable behavior, not an artifact bug).  One device
+    is the real serving configuration; the TPU backend is validated
+    on-chip (0.9 s load, exact parity)."""
+    import subprocess
+    import sys
+
+    script = f"""
+import numpy as np
+from tpu_face import aot
+from tpu_face.pipeline import FaceCascade
+from tpu_face.utils.image_io import load_image
+
+img = load_image({MAN!r})
+frames = np.stack([img, img[:, ::-1]])
+b, h, w, _ = frames.shape
+cascade = FaceCascade()
+live = cascade(frames)
+p = aot.save(cascade, {str(tmp_path)!r} + "/cascade_exec.aot",
+             batch=b, height=h, width=w, kind="executable")
+prog = aot.load(p)
+assert prog.meta["kind"] == "executable"
+out = prog(frames)
+np.testing.assert_allclose(np.asarray(live.mesh),
+                           np.asarray(out.mesh), atol=1e-6)
+print("EXEC_ROUNDTRIP_OK")
+"""
+    import os
+    env = {k: v for k, v in os.environ.items()
+           if "AXON" not in k.upper() and not k.startswith("TPU_")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # default: one CPU device
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert "EXEC_ROUNDTRIP_OK" in r.stdout, (r.stdout, r.stderr)
+
+
+@pytest.mark.slow
 def test_tracker_step_roundtrip(tmp_path, frames):
     b, h, w, _ = frames.shape
     tracker = FaceTracker()
