@@ -65,6 +65,30 @@ def test_attach_rejects_mismatches(artifact):
         aot.attach(FaceCascade(input_layout="planar"), p)
 
 
+def test_attach_pad_batch(artifact, frames):
+    """pad_batch=True: a 1-frame call rides the saved batch-2 program
+    (zero-padded, result sliced back), bit-identical to the live
+    per-frame result; oversize batches still raise."""
+    p, live = artifact
+    fresh = FaceCascade()
+    aot.attach(fresh, p, pad_batch=True)
+    out = fresh.infer_batch(frames[:1])
+    assert np.asarray(out.mesh).shape[0] == 1
+    np.testing.assert_allclose(np.asarray(live.mesh)[:1],
+                               np.asarray(out.mesh), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(live.mesh_valid)[:1],
+                                  np.asarray(out.mesh_valid))
+    # exact-size calls pass through unpadded
+    full = fresh.infer_batch(frames)
+    np.testing.assert_allclose(np.asarray(live.mesh),
+                               np.asarray(full.mesh), atol=1e-6)
+    with pytest.raises(ValueError, match="exceeds"):
+        fresh.infer_batch(np.concatenate([frames, frames]))
+    # trackers carry state: pad_batch must refuse
+    with pytest.raises(ValueError, match="pad_batch"):
+        aot.attach(FaceTracker(), p, pad_batch=True)
+
+
 @pytest.mark.slow
 def test_executable_kind_roundtrip(tmp_path):
     """kind="executable" (pickled PJRT binary): zero-compile load.

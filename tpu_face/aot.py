@@ -185,7 +185,7 @@ def load(path) -> LoadedProgram:
     return LoadedProgram(meta, call)
 
 
-def attach(obj, path) -> LoadedProgram:
+def attach(obj, path, pad_batch: bool = False) -> LoadedProgram:
     """Load an artifact and install it as ``obj``'s program for the
     saved geometry, so the normal host API uses it (no trace).
 
@@ -193,7 +193,23 @@ def attach(obj, path) -> LoadedProgram:
     class and input layout; the batch size must then match at call
     time (XLA static shapes — a mismatched batch raises with the
     artifact's expected shape in the error).
+
+    ``pad_batch=True`` (cascades only — trackers carry per-stream
+    state, where silent padding would corrupt lock bookkeeping) lets
+    smaller batches ride the fixed-batch artifact: frames are
+    zero-padded up to the saved batch and the result sliced back.
+    Zero frames detect nothing, so they are ``face_valid=False``
+    rows that the batch-level warp-dispatch predicates already
+    ignore — the kept rows are bit-identical to a same-size live
+    program (pinned in tests/test_aot.py).  The padded call costs
+    the full saved-batch step; size artifacts for the common case
+    and use ``pad_batch`` for stream tails.
     """
+    if pad_batch and hasattr(obj, "cascade"):
+        # FaceTracker/MultiFaceTracker
+        raise ValueError("pad_batch only applies to stateless "
+                         "cascades; tracker steps carry "
+                         "per-stream state")
     prog = load(path)
     meta = prog.meta
     cls = type(obj).__name__
@@ -205,6 +221,22 @@ def attach(obj, path) -> LoadedProgram:
     if meta["layout"] != layout:
         raise ValueError(f"artifact layout {meta['layout']!r} != "
                          f"pipeline layout {layout!r}")
+    call = prog.call
+    if pad_batch:
+        saved_b = meta["batch"]
+
+        def call(images, _inner=prog.call, _b=saved_b):
+            got = images.shape[0]
+            if got == _b:
+                return _inner(images)
+            if got > _b:
+                raise ValueError(
+                    f"batch {got} exceeds the artifact's saved "
+                    f"batch {_b}")
+            pad = [(0, _b - got)] + [(0, 0)] * (images.ndim - 1)
+            out = _inner(jnp.pad(images, pad))
+            return jax.tree_util.tree_map(lambda a: a[:got], out)
+
     # cascades key their jit cache by (h, w); trackers by hw=(h, w)
-    obj._jitted[(meta["height"], meta["width"])] = prog.call
+    obj._jitted[(meta["height"], meta["width"])] = call
     return prog
