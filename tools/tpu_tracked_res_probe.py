@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Tracked-mode (FaceTracker.step) throughput across frame sizes.
+
+Fills the resolution/mode measurement matrix: the cascade rows
+(tools/tpu_1080p_cascade.py, tpu_4k_rt_probe.py) have tracked-mode
+counterparts only at 540p (bench.py) and 1080p (round-3 ad hoc) —
+this probe measures the tracked video path at any sizes, planar
+ingestion, with the face upscaled so every stream locks.
+
+    python tools/tpu_tracked_res_probe.py [--sizes 1080,2160]
+                                          [--batch 32] [--iters 20]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def _force(out):
+    np.asarray(out.score.ravel()[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1080,2160",
+                    help="comma-separated frame heights (16:9)")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/tpu_face_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tpu_face.tracking import FaceTracker
+
+    B = args.batch
+    log = lambda m: print(m, file=sys.stderr, flush=True)
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} ({dev.device_kind}); batch={B} planar")
+
+    src = Image.open("/root/reference/test_data/man.jpg").convert("RGB")
+
+    for height in (int(s) for s in args.sizes.split(",")):
+        width = height * 16 // 9
+        # letterbox the 540x360 source onto the 16:9 canvas so the
+        # face keeps its aspect (and stays detectable) at every size
+        scale = min(width / src.width, height / src.height)
+        fw, fh = int(src.width * scale), int(src.height * scale)
+        face = np.asarray(src.resize((fw, fh), Image.BILINEAR), np.uint8)
+        canvas = np.zeros((height, width, 3), np.uint8)
+        y0, x0 = (height - fh) // 2, (width - fw) // 2
+        canvas[y0:y0 + fh, x0:x0 + fw] = face
+        planar = np.ascontiguousarray(
+            np.broadcast_to(canvas.transpose(2, 0, 1),
+                            (B, 3, height, width)))
+        batch = jnp.asarray(planar)
+
+        tr = FaceTracker(compute_dtype=jnp.bfloat16,
+                         input_layout="planar")
+        _force(tr.step(batch))          # full-detect + compile
+        _force(tr.step(batch))          # tracked-path compile
+        locked = float(np.asarray(tr.tracking).mean())
+        assert locked == 1.0, f"{height}p: only {locked:.2f} locked"
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = tr.step(batch)
+        _force(out)
+        dt = time.perf_counter() - t0
+        assert float(np.asarray(tr.tracking).mean()) == 1.0, \
+            f"{height}p: lost lock mid-loop"
+        fps = B * args.iters / dt
+        log(f"tracked {height:4d}p: {fps:7.1f} frames/s "
+            f"({dt / args.iters * 1e3:6.2f} ms/step, "
+            f"{dt / args.iters / B * 1e3:.3f} ms/frame)")
+
+    print("TRACKED RES OK")
+
+
+if __name__ == "__main__":
+    main()
