@@ -1,0 +1,143 @@
+"""Temporal landmark smoothing for video mode (OneEuro filter).
+
+Raw per-frame meshes jitter: detector/mesh-CNN noise moves every
+landmark a little even on a static face.  MediaPipe's production
+video graphs smooth landmarks with the OneEuro filter (Casiez et al.,
+CHI 2012 — an adaptive low-pass whose cutoff rises with speed, so
+static points get heavy smoothing while fast motion stays responsive);
+this is the TPU-native equivalent, one tiny elementwise XLA program
+per step over [..., N, 3] landmark sets of B streams.
+
+The reference library has no video mode (every call is a still
+image), so there is nothing to smooth there; this subsystem matches
+the upstream landmarks_smoothing_calculator semantics instead:
+speed is measured relative to the face size (the landmark bbox
+diagonal), so one parameter set works at every resolution and
+distance.
+
+Deliberately NOT fused into the tracker's jitted step: the filter is
+stateful per stream, and keeping it a separate program leaves the
+tracker step's signature (and its AOT artifacts) unchanged —
+``FaceTracker(smoothing=...)`` chains it on the host side.
+
+>>> smoother = LandmarkSmoother()               # OneEuroConfig()
+>>> for frames in video_batches:
+...     res = tracker.step(frames)
+...     mesh = smoother(res.mesh, res.mesh_valid)
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["OneEuroConfig", "LandmarkSmoother"]
+
+
+class OneEuroConfig(NamedTuple):
+    """OneEuro parameters (Casiez et al. 2012).
+
+    ``min_cutoff`` (Hz) sets smoothing at rest — lower = steadier;
+    ``beta`` scales the cutoff with speed — higher = snappier motion
+    (speed is in face-diagonals/second, see ``scale_by_face``);
+    ``derivate_cutoff`` (Hz) low-passes the speed estimate itself;
+    ``rate`` is the assumed frame rate (fixed-fps streams).
+    """
+
+    min_cutoff: float = 0.05
+    beta: float = 10.0
+    derivate_cutoff: float = 1.0
+    rate: float = 30.0
+    # measure speed relative to the landmark bbox diagonal (the
+    # upstream calculator's object-scale normalization), so beta is
+    # resolution- and distance-independent
+    scale_by_face: bool = True
+
+
+def _alpha(cutoff, rate):
+    """EMA coefficient of a first-order low-pass at ``cutoff`` Hz
+    sampled at ``rate`` Hz."""
+    tau = 1.0 / (2.0 * jnp.pi * cutoff)
+    te = 1.0 / rate
+    return 1.0 / (1.0 + tau / te)
+
+
+def _one_euro_step(x, x_hat, dx_hat, cont, cfg: OneEuroConfig):
+    """One filter update over [..., N, C] landmarks.
+
+    ``cont`` [...] marks streams whose state continues from the
+    previous frame; non-continuing streams re-initialize to the raw
+    input (first frame of a track, or a re-acquired stream)."""
+    speed_scale = 1.0
+    if cfg.scale_by_face:
+        ext = (jnp.max(x[..., :2], axis=-2)
+               - jnp.min(x[..., :2], axis=-2))          # [..., 2]
+        diag = jnp.sqrt(jnp.sum(ext * ext, axis=-1))    # [...]
+        # clamp: a degenerate landmark set (empty slot dummies) must
+        # not blow the speed estimate up into permanent passthrough
+        speed_scale = 1.0 / jnp.maximum(diag, 1e-2)[..., None, None]
+
+    dx = (x - x_hat) * cfg.rate
+    a_d = _alpha(cfg.derivate_cutoff, cfg.rate)
+    dx_f = a_d * dx + (1.0 - a_d) * dx_hat
+    cutoff = cfg.min_cutoff + cfg.beta * jnp.abs(dx_f) * speed_scale
+    a = _alpha(cutoff, cfg.rate)
+    x_f = a * x + (1.0 - a) * x_hat
+
+    cont_b = cont[..., None, None]
+    new_hat = jnp.where(cont_b, x_f, x)
+    new_d = jnp.where(cont_b, dx_f, jnp.zeros_like(dx_f))
+    return new_hat, new_d
+
+
+class LandmarkSmoother:
+    """Stateful OneEuro smoothing over batched landmark streams.
+
+    Call with ``landmarks [..., N, C]`` (leading dims = streams, e.g.
+    [B, 468, 3] from ``FaceTracker`` or [B, K, 468, 3] from
+    ``MultiFaceTracker``) and ``valid [...]`` per-stream flags; rows
+    whose ``valid`` is False pass through raw and their filter state
+    resets, so a re-acquired face restarts its filter instead of being
+    dragged toward stale history.  State follows the input shape: a
+    batch/geometry change resets automatically.
+    """
+
+    def __init__(self, config: Optional[OneEuroConfig] = None):
+        self.config = config if config is not None else OneEuroConfig()
+        assert self.config.min_cutoff > 0 and self.config.rate > 0 \
+            and self.config.derivate_cutoff > 0
+        self._state = None  # (x_hat, dx_hat, ok [...])
+        self._jitted = None
+
+    def reset(self):
+        self._state = None
+
+    def _fn(self, x, valid, x_hat, dx_hat, ok):
+        cont = ok & valid
+        new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, cont,
+                                        self.config)
+        vb = valid[..., None, None]
+        out = jnp.where(vb, new_hat, x)
+        return (out,
+                jnp.where(vb, new_hat, x),
+                jnp.where(vb, new_d, jnp.zeros_like(new_d)),
+                valid)
+
+    def __call__(self, landmarks, valid=None):
+        landmarks = jnp.asarray(landmarks)
+        lead = landmarks.shape[:-2]
+        if valid is None:
+            valid = jnp.ones(lead, bool)
+        else:
+            valid = jnp.broadcast_to(jnp.asarray(valid, bool), lead)
+        st = self._state
+        if (st is None or st[0].shape != landmarks.shape
+                or st[0].dtype != landmarks.dtype):
+            # fresh state: first call initializes to the raw input
+            st = (landmarks, jnp.zeros_like(landmarks),
+                  jnp.zeros(lead, bool))
+        if self._jitted is None:
+            self._jitted = jax.jit(self._fn)
+        out, x_hat, dx_hat, ok = self._jitted(landmarks, valid, *st)
+        self._state = (x_hat, dx_hat, ok)
+        return out

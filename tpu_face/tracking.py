@@ -31,6 +31,7 @@ import numpy as np
 from .models.face_detection import FaceDetectionModel
 from .models.face_landmark import ROI_SCALE as MESH_ROI_SCALE
 from .pipeline import CascadeResult, FaceCascade, _bbox_to_roi_abs
+from .smoothing import LandmarkSmoother, OneEuroConfig
 
 # rotation keypoints for landmark-derived ROIs: eye outer corners
 # (same pair the upstream graph uses; also iris_landmark.rs:29-35's
@@ -90,7 +91,8 @@ class FaceTracker:
                  redetect_every: Optional[int] = None,
                  input_layout: str = "hwc",
                  repair_batch: Optional[int] = None,
-                 warp_profile: str = "auto"):
+                 warp_profile: str = "auto",
+                 smoothing=None):
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
                                    compute_dtype=compute_dtype,
@@ -100,6 +102,11 @@ class FaceTracker:
                                    warp_profile=warp_profile)
         assert self.cascade.max_faces == 1, \
             "tracking supports one face per stream"
+        # opt-in OneEuro temporal smoothing of the output mesh/iris
+        # landmarks ("one_euro" or an OneEuroConfig; see smoothing.py).
+        # Applied to the RESULT only — next-frame ROIs keep following
+        # the raw mesh, so the tracking dynamics are unchanged.
+        self._init_smoothing(smoothing)
         # force a detector pass every N steps even while locked (guards
         # against slow drift); None = only on tracking loss
         self.redetect_every = redetect_every
@@ -116,6 +123,28 @@ class FaceTracker:
         r = (self.repair_batch if self.repair_batch is not None
              else max(1, b // 8))
         return min(r, b)
+
+    def _init_smoothing(self, smoothing):
+        if smoothing is None:
+            self._mesh_smoother = None
+            self._iris_smoother = None
+            return
+        cfg = OneEuroConfig() if smoothing == "one_euro" else smoothing
+        if not isinstance(cfg, OneEuroConfig):
+            raise TypeError("smoothing must be None, 'one_euro' or an "
+                            f"OneEuroConfig, got {smoothing!r}")
+        self._mesh_smoother = LandmarkSmoother(cfg)
+        self._iris_smoother = LandmarkSmoother(cfg)
+
+    def _smooth_result(self, res: CascadeResult) -> CascadeResult:
+        """Opt-in OneEuro smoothing of the OUTPUT landmarks; state
+        rois / mesh_raw / validity stay raw (smoothing.py)."""
+        if self._mesh_smoother is None:
+            return res
+        mesh = self._mesh_smoother(res.mesh, res.mesh_valid)
+        # iris is [..., 2(eyes), 5, 3]: one more stream dim than mesh
+        iris = self._iris_smoother(res.iris, res.mesh_valid[..., None])
+        return res._replace(mesh=mesh, iris=iris)
 
     # ---- jitted step -----------------------------------------------------
 
@@ -218,6 +247,9 @@ class FaceTracker:
         self._state = None
         self._state_hw = None
         self._steps = 0
+        if self._mesh_smoother is not None:
+            self._mesh_smoother.reset()
+            self._iris_smoother.reset()
 
     def step(self, images) -> CascadeResult:
         images = jnp.asarray(images)
@@ -242,7 +274,7 @@ class FaceTracker:
             images, self._state.roi, self._state.valid,
             jnp.asarray(force))
         self._steps += 1
-        return res
+        return self._smooth_result(res)
 
     @property
     def tracking(self) -> np.ndarray:
@@ -348,7 +380,8 @@ class MultiFaceTracker:
                  redetect_every: Optional[int] = None,
                  input_layout: str = "hwc",
                  repair_batch: Optional[int] = None,
-                 warp_profile: str = "auto"):
+                 warp_profile: str = "auto",
+                 smoothing=None):
         assert max_faces >= 1
         self.cascade = FaceCascade(detection_model,
                                    model_path=model_path,
@@ -362,12 +395,17 @@ class MultiFaceTracker:
         # per-step detection sub-batch for unlocked streams (see
         # FaceTracker.repair_batch); None = B // 8, min 1
         self.repair_batch = repair_batch
+        # per-slot OneEuro smoothing (identity-stable slots make the
+        # [B, K] filter state meaningful; see FaceTracker)
+        self._init_smoothing(smoothing)
         self._state: Optional[MultiTrackerState] = None
         self._state_hw: Optional[Tuple[int, int]] = None
         self._steps = 0
         self._jitted = {}
 
     _repair_n = FaceTracker._repair_n
+    _init_smoothing = FaceTracker._init_smoothing
+    _smooth_result = FaceTracker._smooth_result
 
     # ---- jitted step -----------------------------------------------------
 
@@ -476,10 +514,7 @@ class MultiFaceTracker:
 
     # ---- host API --------------------------------------------------------
 
-    def reset(self):
-        self._state = None
-        self._state_hw = None
-        self._steps = 0
+    reset = FaceTracker.reset
 
     def step(self, images) -> CascadeResult:
         images = jnp.asarray(images)
@@ -503,7 +538,7 @@ class MultiFaceTracker:
             images, self._state.roi, self._state.valid,
             self._state.locked, jnp.asarray(force))
         self._steps += 1
-        return res
+        return self._smooth_result(res)
 
     @property
     def tracking(self) -> np.ndarray:
