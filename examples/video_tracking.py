@@ -26,7 +26,10 @@ def main():
               for i in range(8)]
     frames[5] = np.zeros_like(img)  # dropout frame
 
-    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA)
+    # smoothing="one_euro": OneEuro temporal filter on the output
+    # landmarks (raw tracking dynamics unchanged; smoothing.py)
+    tracker = FaceTracker(FaceDetectionModel.BACK_CAMERA,
+                          smoothing="one_euro")
     for i, frame in enumerate(frames):
         was_tracking = bool(tracker.tracking.all()) \
             if tracker.tracking.size else False
