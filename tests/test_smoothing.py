@@ -97,6 +97,32 @@ def test_multiface_leading_dims():
     assert d_sm < 0.5 * d_raw
 
 
+def test_result_smoother_mesh_and_iris_one_filter():
+    """ResultSmoother: mesh + iris filtered as one face-scaled set —
+    iris jitter shrinks by the FACE-scale cutoff (a per-iris-bbox
+    normalization would barely smooth it), and invalid rows reset."""
+    from tpu_face.smoothing import ResultSmoother
+
+    rng = np.random.default_rng(3)
+    mesh0 = rng.uniform(0.3, 0.7, size=(2, 40, 3)).astype(np.float32)
+    iris0 = rng.uniform(0.45, 0.55, size=(2, 2, 5, 3)).astype(np.float32)
+    sm = ResultSmoother()
+    meshes, irises = [], []
+    raw_m, raw_i = [], []
+    for _ in range(40):
+        m = mesh0 + rng.normal(0, 0.003, mesh0.shape).astype(np.float32)
+        i = iris0 + rng.normal(0, 0.003, iris0.shape).astype(np.float32)
+        raw_m.append(m), raw_i.append(i)
+        om, oi = sm(m, i, np.ones(2, bool))
+        meshes.append(np.asarray(om)), irises.append(np.asarray(oi))
+    for raw, out in ((raw_m, meshes), (raw_i, irises)):
+        d_raw = np.abs(np.diff(np.stack(raw)[10:], axis=0)).mean()
+        d_sm = np.abs(np.diff(np.stack(out)[10:], axis=0)).mean()
+        assert d_sm < 0.4 * d_raw, (d_raw, d_sm)
+    assert meshes[0].shape == mesh0.shape
+    assert irises[0].shape == iris0.shape
+
+
 def test_config_validation():
     with pytest.raises(AssertionError):
         LandmarkSmoother(OneEuroConfig(min_cutoff=0.0))
@@ -147,7 +173,7 @@ def test_tracker_smoothing_wiring():
     assert px < 3.0, px
 
     smooth.reset()
-    assert smooth._mesh_smoother._state is None
+    assert smooth._smoother._state is None
 
 
 def test_tracker_smoothing_rejects_bad_config():

@@ -30,8 +30,9 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["OneEuroConfig", "LandmarkSmoother"]
+__all__ = ["OneEuroConfig", "LandmarkSmoother", "ResultSmoother"]
 
 
 class OneEuroConfig(NamedTuple):
@@ -141,3 +142,55 @@ class LandmarkSmoother:
         out, x_hat, dx_hat, ok = self._jitted(landmarks, valid, *st)
         self._state = (x_hat, dx_hat, ok)
         return out
+
+
+class ResultSmoother:
+    """OneEuro over a tracker result's mesh AND iris landmarks in ONE
+    program (a separate iris filter would both cost an extra dispatch
+    per step and normalize speed by the tiny iris bbox instead of the
+    face — the 478 points are filtered as one face-scaled set)."""
+
+    def __init__(self, config: Optional[OneEuroConfig] = None):
+        self.config = config if config is not None else OneEuroConfig()
+        assert self.config.min_cutoff > 0 and self.config.rate > 0 \
+            and self.config.derivate_cutoff > 0
+        self._state = None
+        self._jitted = None
+
+    def reset(self):
+        self._state = None
+
+    def _fn(self, mesh, iris, valid, x_hat, dx_hat, ok):
+        lead = mesh.shape[:-2]
+        x = jnp.concatenate(
+            [mesh, iris.reshape(lead + (-1, mesh.shape[-1]))], axis=-2)
+        cont = ok & valid
+        new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, cont,
+                                        self.config)
+        vb = valid[..., None, None]
+        out = jnp.where(vb, new_hat, x)
+        n = mesh.shape[-2]
+        return (out[..., :n, :],
+                out[..., n:, :].reshape(iris.shape),
+                jnp.where(vb, new_hat, x),
+                jnp.where(vb, new_d, jnp.zeros_like(new_d)),
+                valid)
+
+    def __call__(self, mesh, iris, valid):
+        mesh = jnp.asarray(mesh)
+        iris = jnp.asarray(iris)
+        lead = mesh.shape[:-2]
+        valid = jnp.broadcast_to(jnp.asarray(valid, bool), lead)
+        total = mesh.shape[-2] + int(
+            np.prod(iris.shape[len(lead):-1]))
+        comb_shape = lead + (total, mesh.shape[-1])
+        st = self._state
+        if (st is None or st[0].shape != comb_shape
+                or st[0].dtype != mesh.dtype):
+            z = jnp.zeros(comb_shape, mesh.dtype)
+            st = (z, z, jnp.zeros(lead, bool))
+        if self._jitted is None:
+            self._jitted = jax.jit(self._fn)
+        m, ir, x_hat, dx_hat, ok = self._jitted(mesh, iris, valid, *st)
+        self._state = (x_hat, dx_hat, ok)
+        return m, ir

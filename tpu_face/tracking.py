@@ -31,7 +31,7 @@ import numpy as np
 from .models.face_detection import FaceDetectionModel
 from .models.face_landmark import ROI_SCALE as MESH_ROI_SCALE
 from .pipeline import CascadeResult, FaceCascade, _bbox_to_roi_abs
-from .smoothing import LandmarkSmoother, OneEuroConfig
+from .smoothing import OneEuroConfig, ResultSmoother
 
 # rotation keypoints for landmark-derived ROIs: eye outer corners
 # (same pair the upstream graph uses; also iris_landmark.rs:29-35's
@@ -126,24 +126,22 @@ class FaceTracker:
 
     def _init_smoothing(self, smoothing):
         if smoothing is None:
-            self._mesh_smoother = None
-            self._iris_smoother = None
+            self._smoother = None
             return
         cfg = OneEuroConfig() if smoothing == "one_euro" else smoothing
         if not isinstance(cfg, OneEuroConfig):
             raise TypeError("smoothing must be None, 'one_euro' or an "
                             f"OneEuroConfig, got {smoothing!r}")
-        self._mesh_smoother = LandmarkSmoother(cfg)
-        self._iris_smoother = LandmarkSmoother(cfg)
+        self._smoother = ResultSmoother(cfg)
 
     def _smooth_result(self, res: CascadeResult) -> CascadeResult:
         """Opt-in OneEuro smoothing of the OUTPUT landmarks; state
-        rois / mesh_raw / validity stay raw (smoothing.py)."""
-        if self._mesh_smoother is None:
+        rois / mesh_raw / validity stay raw (smoothing.py).  Mesh and
+        iris ride ONE filter program (~0.5 ms/step dispatch here;
+        negligible on a non-tunneled host)."""
+        if self._smoother is None:
             return res
-        mesh = self._mesh_smoother(res.mesh, res.mesh_valid)
-        # iris is [..., 2(eyes), 5, 3]: one more stream dim than mesh
-        iris = self._iris_smoother(res.iris, res.mesh_valid[..., None])
+        mesh, iris = self._smoother(res.mesh, res.iris, res.mesh_valid)
         return res._replace(mesh=mesh, iris=iris)
 
     # ---- jitted step -----------------------------------------------------
@@ -247,9 +245,8 @@ class FaceTracker:
         self._state = None
         self._state_hw = None
         self._steps = 0
-        if self._mesh_smoother is not None:
-            self._mesh_smoother.reset()
-            self._iris_smoother.reset()
+        if self._smoother is not None:
+            self._smoother.reset()
 
     def step(self, images) -> CascadeResult:
         images = jnp.asarray(images)
