@@ -90,6 +90,22 @@ def test_attach_pad_batch(artifact, frames):
 
 
 @pytest.mark.slow
+def test_attach_pad_batch_planar(tmp_path, frames):
+    """pad_batch pads axis 0 of [B, 3, H, W] planar input too."""
+    planar = np.ascontiguousarray(frames.transpose(0, 3, 1, 2))
+    b, _, h, w = planar.shape
+    cascade = FaceCascade(input_layout="planar")
+    live = cascade(planar)
+    p = aot.save(cascade, tmp_path / "planar.aot", batch=b,
+                 height=h, width=w)
+    fresh = FaceCascade(input_layout="planar")
+    aot.attach(fresh, p, pad_batch=True)
+    out = fresh.infer_batch(planar[:1])
+    np.testing.assert_allclose(np.asarray(live.mesh)[:1],
+                               np.asarray(out.mesh), atol=1e-6)
+
+
+@pytest.mark.slow
 def test_executable_kind_roundtrip(tmp_path):
     """kind="executable" (pickled PJRT binary): zero-compile load.
 
