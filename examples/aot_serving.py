@@ -57,9 +57,11 @@ def main():
         f"{time.perf_counter() - t0:.1f}s)")
 
     # ---- serving process: attach the artifact, no tracing ------------
+    # pad_batch=True: stream tails smaller than the exported batch
+    # ride the same artifact (zero-pad + slice; bit-identical rows)
     server = FaceCascade(compute_dtype=jnp.bfloat16)
     t0 = time.perf_counter()
-    aot.attach(server, p)
+    aot.attach(server, p, pad_batch=True)
     log(f"attach: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     out = server.infer_batch(batch)
@@ -67,6 +69,9 @@ def main():
     log(f"first batch: {time.perf_counter() - t0:.1f}s "
         f"(score={float(out.score[0]):.4f}, "
         f"valid={bool(out.face_valid[0])})")
+    tail = server.infer_batch(batch[: max(1, args.batch // 2)])
+    log(f"tail batch {int(tail.score.shape[0])}/{args.batch} via "
+        f"pad_batch: score={float(tail.score[0]):.4f}")
 
 
 if __name__ == "__main__":
