@@ -75,6 +75,34 @@ def test_sharded_tracker_matches_single_device():
                                    np.asarray(ru.mesh), atol=2e-3)
 
 
+@pytest.mark.slow
+def test_sharded_multiface_tracker_matches_single_device():
+    """K-face streams shard like single-face ones (same step
+    signature; per-slot state stays chip-resident)."""
+    from tpu_face.parallel import track_sharded
+    from tpu_face.tracking import MultiFaceTracker
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    frames = [np.stack([np.roll(img, 4 * t + i, axis=1)
+                        for i in range(8)]) for t in range(2)]
+
+    mesh = data_parallel_mesh()
+    sharded = MultiFaceTracker(FaceDetectionModel.BACK_CAMERA,
+                               max_faces=2)
+    single = MultiFaceTracker(FaceDetectionModel.BACK_CAMERA,
+                              max_faces=2)
+    for t, batch in enumerate(frames):
+        rs = jax.block_until_ready(track_sharded(sharded, batch, mesh))
+        ru = jax.block_until_ready(single.step(batch))
+        assert sharded.tracking.all() and single.tracking.all(), t
+        np.testing.assert_array_equal(np.asarray(rs.mesh_valid),
+                                      np.asarray(ru.mesh_valid))
+        v = np.asarray(ru.mesh_valid)
+        np.testing.assert_allclose(np.asarray(rs.mesh)[v],
+                                   np.asarray(ru.mesh)[v], atol=2e-3)
+
+
 def test_sharded_cascade_has_no_collectives():
     """Scaling hygiene: the batch-sharded cascade must partition into
     per-chip programs with ZERO cross-chip collectives in steady state

@@ -59,7 +59,9 @@ def infer_sharded(cascade, images, mesh: Optional[Mesh] = None,
 
 def track_sharded(tracker, images, mesh: Optional[Mesh] = None,
                   axis_name: str = "data"):
-    """Step a ``FaceTracker`` with its B streams sharded over ``mesh``.
+    """Step a ``FaceTracker`` (or ``MultiFaceTracker`` — same step
+    signature, per-slot state) with its B streams sharded over
+    ``mesh``.
 
     Streams are data-parallel like cascade frames; the tracker's
     (roi, valid) state arrays come out of the jitted step sharded like
