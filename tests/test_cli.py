@@ -127,3 +127,36 @@ def test_cli_cascade_batch(capsys):
         assert f["nose"] == pytest.approx([263.85, 143.37], abs=1.0)
         assert f["iris_centers"][0] == pytest.approx([236.17, 108.88],
                                                      abs=1.0)
+
+
+def test_cli_track_frames(tmp_path, capsys):
+    """Video-tracking CLI over a frame sequence: detector skipped once
+    locked, per-frame JSON rows, smoothing flag honored."""
+    import numpy as np
+    from PIL import Image
+
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image(MAN)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(np.roll(img, 3 * i, axis=1)).save(p)
+        paths.append(p)
+
+    rc = main(["track", *paths, "--pixels", "--smooth"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and len(lines) == 5
+    rows, summary = lines[:4], lines[4]
+    assert rows[0]["detector_skipped"] is False
+    assert all(r["detector_skipped"] for r in rows[1:])
+    for t, r in enumerate(rows):
+        assert len(r["faces"]) == 1
+        # smoothing lags the 3 px/frame pan by ~1 frame (OneEuro)
+        assert r["faces"][0]["nose"][0] == pytest.approx(
+            263.85 + 3 * t, abs=4.0)
+    xs = [r["faces"][0]["nose"][0] for r in rows]
+    assert all(b > a for a, b in zip(xs, xs[1:]))  # follows the pan
+    assert summary == {"frames": 4, "detector_skipped_on": 3,
+                       "smoothing": True}

@@ -11,6 +11,7 @@ optional annotated-PNG rendering, runnable on CPU or TPU:
     python -m tpu_face embed   IMG1 IMG2 [--model-path DIR]
     python -m tpu_face cascade IMG... [--max-faces K]
     python -m tpu_face identify IMG... [--embed-model-path DIR]
+    python -m tpu_face track   STREAM.mjpeg | FRAME... [--smooth]
     python -m tpu_face info
 
 ``detect`` prints every detection (score, bbox, 6 keypoints);
@@ -301,6 +302,83 @@ def cmd_identify(args):
     return 0
 
 
+def cmd_track(args):
+    """Video tracking over an MJPEG stream or a frame sequence: one
+    JSON line per frame (detector runs only on lock loss), stateful
+    across the whole input — the CLI face of tracking.FaceTracker /
+    MultiFaceTracker (reference has no video mode)."""
+    import numpy as np
+
+    from .tracking import FaceTracker, MultiFaceTracker
+
+    planar = False
+    if (len(args.frames) == 1
+            and args.frames[0].lower().endswith((".mjpeg", ".mjpg"))):
+        from .utils import native_loader
+        if not native_loader.available():
+            print(json.dumps({"error": "native loader unavailable; "
+                                       "build with `make -C native`"}))
+            return 1
+        data = open(args.frames[0], "rb").read()
+        jpegs = native_loader.mjpeg_split(data)
+        if not jpegs:
+            print(json.dumps({"error": "no JPEG frames in stream"}))
+            return 1
+        w, h = native_loader.jpeg_info(jpegs[0])
+        size = (w, h)
+        frames = [native_loader.decode_jpeg_batch(jpegs[i:i + 1], w, h,
+                                                  planar=True)
+                  for i in range(len(jpegs))]
+        planar = True
+    else:
+        frames, size = [], None
+        for path in args.frames:
+            img, s = _load(path)
+            if size is None:
+                size = s
+            elif s != size:
+                print(json.dumps({"error": f"{path} is {s}, stream is "
+                                           f"{size} — same-size frames "
+                                           f"only"}))
+                return 1
+            frames.append(img[None])
+
+    k = args.max_faces
+    smoothing = "one_euro" if args.smooth else None
+    cls_kw = dict(model_path=args.model_path,
+                  redetect_every=args.redetect_every,
+                  input_layout="planar" if planar else "hwc",
+                  smoothing=smoothing)
+    tracker = (FaceTracker(_model_enum(args.model), **cls_kw)
+               if k == 1 else
+               MultiFaceTracker(_model_enum(args.model), max_faces=k,
+                                **cls_kw))
+    sx, sy = size if args.pixels else (1.0, 1.0)
+    n_skipped = 0
+    for i, frame in enumerate(frames):
+        skipped = bool(np.asarray(tracker.tracking).all()) \
+            if np.asarray(tracker.tracking).size else False
+        res = tracker.step(frame)
+        n_skipped += int(skipped)
+        det = np.asarray(res.detection).reshape(-1, 8, 2)
+        score = np.asarray(res.score).reshape(-1)
+        valid = np.asarray(res.mesh_valid).reshape(-1)
+        mesh = np.asarray(res.mesh).reshape(-1, 468, 3)
+        faces = [{
+            "score": round(float(score[f]), 4),
+            "bbox": [round(float(v) * s, 4) for v, s in
+                     zip(det[f, :2].reshape(-1), (sx, sy, sx, sy))],
+            "nose": [round(float(mesh[f, 1, 0]) * sx, 4),
+                     round(float(mesh[f, 1, 1]) * sy, 4)],
+        } for f in range(det.shape[0]) if valid[f]]
+        print(json.dumps({"frame": i, "detector_skipped": skipped,
+                          "faces": faces}))
+    print(json.dumps({"frames": len(frames),
+                      "detector_skipped_on": n_skipped,
+                      "smoothing": bool(smoothing)}))
+    return 0
+
+
 def cmd_info(args):
     import jax
 
@@ -383,6 +461,27 @@ def main(argv=None):
                         "face_embeddings.npz (defaults to the "
                         "synthetic-weight demo graph)")
     p.set_defaults(fn=cmd_identify)
+
+    p = sub.add_parser("track",
+                       help="video tracking over an .mjpeg stream or "
+                            "a same-sized frame sequence (detector "
+                            "only on lock loss; one JSON line per "
+                            "frame)")
+    p.add_argument("frames", nargs="+",
+                   help="ONE .mjpeg/.mjpg file, or ordered frame "
+                        "images")
+    p.add_argument("--model", default="back",
+                   choices=["front", "back", "short", "full",
+                            "full_sparse"])
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--pixels", action="store_true")
+    p.add_argument("--max-faces", type=int, default=1,
+                   help=">1 switches to MultiFaceTracker")
+    p.add_argument("--redetect-every", type=int, default=None,
+                   help="force a detector pass every N frames")
+    p.add_argument("--smooth", action="store_true",
+                   help="OneEuro temporal landmark smoothing")
+    p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("info", help="version / backend / models")
     p.set_defaults(fn=cmd_info)
