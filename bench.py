@@ -473,9 +473,12 @@ def main():
             multiface_error = str(e)
             _log(f"multiface measurement failed: {e}")
 
+    from tpu_face import __version__
+
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
     record = {
         "metric": "cascade_fps_per_chip",
+        "version": __version__,
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
