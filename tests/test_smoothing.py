@@ -176,6 +176,36 @@ def test_tracker_smoothing_wiring():
     assert smooth._smoother._state is None
 
 
+def test_multiface_smoothing_continuous_across_redetect():
+    """Forced detector passes (redetect_every) must not reset or jump
+    the per-slot filters: match_slots keeps slot identities, so the
+    smoothed mesh stays continuous on a static two-face scene."""
+    import jax.numpy as jnp
+
+    from tpu_face.tracking import MultiFaceTracker
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    # two faces: original + mirrored, side by side
+    scene = np.concatenate([img, img[:, ::-1]], axis=1)
+    frames = np.stack([scene])
+
+    tr = MultiFaceTracker(max_faces=2, redetect_every=2,
+                          smoothing="one_euro")
+    meshes = []
+    for _ in range(6):
+        res = tr.step(frames)
+        v = np.asarray(res.mesh_valid)[0]
+        assert v.sum() == 2, v
+        meshes.append(np.asarray(res.mesh)[0])
+    # static scene: successive smoothed meshes stay sub-pixel-close,
+    # INCLUDING the steps where the forced detector pass ran
+    w = scene.shape[1]
+    for a, b in zip(meshes[1:], meshes[2:]):
+        d_px = np.abs(b[..., :2] - a[..., :2]).max() * w
+        assert d_px < 2.0, d_px
+
+
 def test_tracker_smoothing_rejects_bad_config():
     from tpu_face.tracking import FaceTracker
 
