@@ -59,11 +59,16 @@ def main():
     args = ap.parse_args()
     B = args.batch
 
-    # measured XLA stage times at batch 128 (PERF.md @256 halved;
-    # iris covers BOTH eyes = effective batch 2B)
-    measured = {"face_detection_back": (6.55, 1),
-                "face_landmark": (2.5, 1),
-                "iris_landmark": (3.8, 2)}
+    # measured in-trace stage times at batch 128, round-3 HEAD
+    # (tools/tpu_trace_breakdown.py, coverage profile; iris covers
+    # BOTH eyes = effective batch 2B).  NOTE the mesh CNN (0.84 ms)
+    # BEATS its "ideal" bound (1.08 ms): small nets keep activations
+    # VMEM-resident across ops, so these bounds are loose upper
+    # traffic estimates, not tight floors — a stage near or below its
+    # bound is XLA/latency-bound, not bandwidth-limited.
+    measured = {"face_detection_back": (6.1, 1),
+                "face_landmark": (0.84, 1),
+                "iris_landmark": (3.21, 2)}
     print(f"batch {B}; bf16 activations; v5e {HBM_GBS:.0f} GB/s, "
           f"197 bf16 TFLOP/s")
     for name, (meas, mul) in measured.items():

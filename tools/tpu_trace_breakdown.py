@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--crowd", action="store_true",
                     help="2x2 face-crop grid canvas + FULL_SPARSE "
                          "(the tools/tpu_multiface_times.py scene)")
+    ap.add_argument("--profile", default="coverage",
+                    choices=["coverage", "auto", "speed"],
+                    help="warp profile; coverage (default) keeps "
+                         "stage scopes out of cond buckets")
     args = ap.parse_args()
 
     import jax
@@ -55,11 +59,17 @@ def main():
             for c in range(2):
                 img[r * ch:(r + 1) * ch, c * cw:(c + 1) * cw] = crop
     batch = jnp.asarray(np.broadcast_to(img, (B,) + img.shape).copy())
+    # default "coverage": the auto profile's rt-dispatch conditionals
+    # swallow the mesh/iris stage scopes into opaque `cond` buckets
+    # (branch bodies attribute to the cond op) — single-branch
+    # coverage keeps per-stage attribution clean; pass --profile auto
+    # to trace the shipping configuration instead
     cascade = FaceCascade(
         FaceDetectionModel.FULL_SPARSE if args.crowd
         else FaceDetectionModel.BACK_CAMERA,
         max_faces=args.max_faces,
         nms_top_m=2304 if args.crowd else 128,
+        warp_profile=args.profile,
         compute_dtype=jnp.bfloat16)
     jax.block_until_ready(cascade(batch))
     jax.block_until_ready(cascade(batch))
