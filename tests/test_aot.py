@@ -150,6 +150,55 @@ print("EXEC_ROUNDTRIP_OK")
 
 
 @pytest.mark.slow
+def test_embed_cascade_roundtrip(tmp_path, frames):
+    """EmbedCascade artifacts: detect->crop->embed program attaches
+    and reproduces the live embeddings exactly (demo graph)."""
+    from tpu_face.pipeline import EmbedCascade
+
+    demo = "/root/repo/tpu_face/data/demo"
+    b, h, w, _ = frames.shape
+    cas = EmbedCascade(embed_model_path=demo)
+    live = cas(frames)
+    p = aot.save(cas, tmp_path / "embed.aot", batch=b, height=h,
+                 width=w)
+    fresh = EmbedCascade(embed_model_path=demo)
+    prog = aot.attach(fresh, p)
+    assert prog.meta["cls"] == "EmbedCascade"
+    out = fresh.infer_batch(frames)
+    np.testing.assert_allclose(np.asarray(live.embedding),
+                               np.asarray(out.embedding), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(live.face_valid),
+                                  np.asarray(out.face_valid))
+
+
+@pytest.mark.slow
+def test_multiface_tracker_roundtrip(tmp_path, frames):
+    """MultiFaceTracker step artifacts: stateful K-face equivalence
+    across a full-detect step and a tracked step."""
+    from tpu_face.tracking import MultiFaceTracker
+
+    b, h, w, _ = frames.shape
+    live_tr = MultiFaceTracker(max_faces=2)
+    live0 = live_tr.step(frames)
+    live1 = live_tr.step(frames)
+
+    p = aot.save(MultiFaceTracker(max_faces=2),
+                 tmp_path / "mtracker.aot", batch=b, height=h, width=w)
+    fresh = MultiFaceTracker(max_faces=2)
+    prog = aot.attach(fresh, p)
+    assert prog.meta["cls"] == "MultiFaceTracker"
+    out0 = fresh.step(frames)
+    out1 = fresh.step(frames)
+    for a, o in ((live0, out0), (live1, out1)):
+        np.testing.assert_array_equal(np.asarray(a.mesh_valid),
+                                      np.asarray(o.mesh_valid))
+        v = np.asarray(a.mesh_valid)
+        np.testing.assert_allclose(np.asarray(a.mesh)[v],
+                                   np.asarray(o.mesh)[v], atol=1e-6)
+    assert np.asarray(fresh.tracking).all()
+
+
+@pytest.mark.slow
 def test_tracker_step_roundtrip(tmp_path, frames):
     b, h, w, _ = frames.shape
     tracker = FaceTracker()
