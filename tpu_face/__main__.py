@@ -353,6 +353,8 @@ def cmd_track(args):
                if k == 1 else
                MultiFaceTracker(_model_enum(args.model), max_faces=k,
                                 **cls_kw))
+    if args.render_dir:
+        os.makedirs(args.render_dir, exist_ok=True)
     sx, sy = size if args.pixels else (1.0, 1.0)
     n_skipped = 0
     for i, frame in enumerate(frames):
@@ -371,8 +373,26 @@ def cmd_track(args):
             "nose": [round(float(mesh[f, 1, 0]) * sx, 4),
                      round(float(mesh[f, 1, 1]) * sy, 4)],
         } for f in range(det.shape[0]) if valid[f]]
-        print(json.dumps({"frame": i, "detector_skipped": skipped,
-                          "faces": faces}))
+        rec = {"frame": i, "detector_skipped": skipped, "faces": faces}
+        if args.render_dir:
+            from .models import face_landmarks_to_render_data
+            from .render import Colors, render_to_image
+            from .types import Landmark
+            anns = None
+            for f in range(det.shape[0]):
+                if not valid[f]:
+                    continue
+                lmks = [Landmark(float(x), float(y), float(z))
+                        for x, y, z in mesh[f]]
+                anns = face_landmarks_to_render_data(
+                    lmks, Colors.RED, Colors.RED, output=anns)
+            img_hwc = (np.moveaxis(np.asarray(frame[0]), 0, -1)
+                       if planar else np.asarray(frame[0]))
+            out_png = os.path.join(args.render_dir, f"frame_{i:05d}.png")
+            if anns is not None:
+                render_to_image(anns, img_hwc).save(out_png)
+                rec["render"] = out_png
+        print(json.dumps(rec))
     print(json.dumps({"frames": len(frames),
                       "detector_skipped_on": n_skipped,
                       "smoothing": bool(smoothing)}))
@@ -481,6 +501,8 @@ def main(argv=None):
                    help="force a detector pass every N frames")
     p.add_argument("--smooth", action="store_true",
                    help="OneEuro temporal landmark smoothing")
+    p.add_argument("--render-dir", default=None,
+                   help="write per-frame mesh-overlay PNGs here")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("info", help="version / backend / models")
