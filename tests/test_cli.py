@@ -144,7 +144,8 @@ def test_cli_track_frames(tmp_path, capsys):
         Image.fromarray(np.roll(img, 3 * i, axis=1)).save(p)
         paths.append(p)
 
-    rc = main(["track", *paths, "--pixels", "--smooth"])
+    rc = main(["track", *paths, "--pixels", "--smooth",
+               "--render-dir", str(tmp_path / "overlay")])
     lines = [json.loads(l) for l in
              capsys.readouterr().out.strip().splitlines()]
     assert rc == 0 and len(lines) == 5
@@ -158,5 +159,8 @@ def test_cli_track_frames(tmp_path, capsys):
             263.85 + 3 * t, abs=4.0)
     xs = [r["faces"][0]["nose"][0] for r in rows]
     assert all(b > a for a, b in zip(xs, xs[1:]))  # follows the pan
+    import os
+    for r in rows:
+        assert os.path.getsize(r["render"]) > 10000
     assert summary == {"frames": 4, "detector_skipped_on": 3,
                        "smoothing": True}
