@@ -164,3 +164,48 @@ def test_cli_track_frames(tmp_path, capsys):
         assert os.path.getsize(r["render"]) > 10000
     assert summary == {"frames": 4, "detector_skipped_on": 3,
                        "smoothing": True}
+
+
+def test_cli_track_redetect_every_counts_forced_passes(tmp_path,
+                                                       capsys):
+    """--redetect-every forces detector passes: those frames must NOT
+    count as detector_skipped (the step ran the full path)."""
+    import numpy as np
+    from PIL import Image
+
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image(MAN)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"r{i}.png")
+        Image.fromarray(np.roll(img, 2 * i, axis=1)).save(p)
+        paths.append(p)
+
+    rc = main(["track", *paths, "--redetect-every", "2"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    rows, summary = lines[:4], lines[4]
+    # steps 0 and 2 are forced detector passes; 1 and 3 are tracked
+    assert [r["detector_skipped"] for r in rows] == [False, True,
+                                                     False, True]
+    assert summary["detector_skipped_on"] == 2
+
+
+def test_cli_track_rejects_mixed_sizes(tmp_path, capsys):
+    import numpy as np
+    from PIL import Image
+
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image(MAN)
+    a = str(tmp_path / "a.png")
+    b = str(tmp_path / "b.png")
+    Image.fromarray(img).save(a)
+    Image.fromarray(img[:200, :300]).save(b)
+    rc = main(["track", a, b])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1
+    assert "same-size" in lines[-1]["error"]

@@ -206,6 +206,30 @@ def test_multiface_smoothing_continuous_across_redetect():
         assert d_px < 2.0, d_px
 
 
+def test_tracker_smoothing_resets_on_resolution_change():
+    """Normalized landmark shapes are resolution-blind, so the
+    tracker must reset the filter when its own state resets on a
+    geometry change — the first post-switch output equals the raw
+    mesh instead of blending toward the previous stream's history."""
+    import numpy as np
+
+    from tpu_face.tracking import FaceTracker
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image("/root/reference/test_data/man.jpg")
+    small = img[:352, :528]  # different geometry, face still visible
+
+    smooth = FaceTracker(smoothing="one_euro")
+    plain = FaceTracker()
+    for _ in range(3):
+        smooth.step(np.stack([img]))
+    s = smooth.step(np.stack([small]))
+    p = plain.step(np.stack([small]))
+    assert bool(np.asarray(s.mesh_valid)[0])
+    np.testing.assert_allclose(np.asarray(s.mesh), np.asarray(p.mesh),
+                               atol=1e-6)
+
+
 def test_tracker_smoothing_rejects_bad_config():
     from tpu_face.tracking import FaceTracker
 

@@ -55,6 +55,24 @@ def _lmk_json(lmks, size, pixels):
             for l in lmks]
 
 
+def _load_same_size(paths):
+    """Load a same-sized image batch; returns (imgs, size) or (None,
+    None) after printing the JSON error (batched programs are
+    static-shape)."""
+    imgs, size = [], None
+    for path in paths:
+        img, s = _load(path)
+        if size is None:
+            size = s
+        elif s != size:
+            print(json.dumps({"error": f"{path} is {s}, batch is "
+                                       f"{size} — same-size images "
+                                       f"only"}))
+            return None, None
+        imgs.append(img)
+    return imgs, size
+
+
 def _model_enum(name):
     from .models import FaceDetectionModel
 
@@ -196,18 +214,9 @@ def cmd_cascade(args):
 
     from .pipeline import FaceCascade
 
-    imgs = []
-    size = None
-    for path in args.images:
-        img, s = _load(path)
-        if size is None:
-            size = s
-        elif s != size:
-            print(json.dumps({"error": f"{path} is {s}, batch is "
-                                       f"{size} — same-size images "
-                                       f"only"}))
-            return 1
-        imgs.append(img)
+    imgs, size = _load_same_size(args.images)
+    if imgs is None:
+        return 1
     batch = np.stack(imgs)
     cascade = FaceCascade(_model_enum(args.model),
                           model_path=args.model_path,
@@ -252,18 +261,9 @@ def cmd_identify(args):
 
     from .pipeline import EmbedCascade
 
-    imgs = []
-    size = None
-    for path in args.images:
-        img, s = _load(path)
-        if size is None:
-            size = s
-        elif s != size:
-            print(json.dumps({"error": f"{path} is {s}, batch is "
-                                       f"{size} — same-size images "
-                                       f"only"}))
-            return 1
-        imgs.append(img)
+    imgs, size = _load_same_size(args.images)
+    if imgs is None:
+        return 1
     demo = Path(__file__).resolve().parent / "data" / "demo"
     embed_path = args.embed_model_path or args.model_path
     demo_weights = embed_path is None
@@ -324,24 +324,34 @@ def cmd_track(args):
         if not jpegs:
             print(json.dumps({"error": "no JPEG frames in stream"}))
             return 1
-        w, h = native_loader.jpeg_info(jpegs[0])
+        info = native_loader.jpeg_info(jpegs[0])
+        if info is None:
+            print(json.dumps({"error": "first frame is not a "
+                                       "decodable JPEG"}))
+            return 1
+        w, h = info
         size = (w, h)
-        frames = [native_loader.decode_jpeg_batch(jpegs[i:i + 1], w, h,
+        # decode lazily, one frame per step — a long stream must not
+        # be materialized in host RAM up front
+        n_frames = len(jpegs)
+        frames = (native_loader.decode_jpeg_batch(jpegs[i:i + 1], w, h,
                                                   planar=True)
-                  for i in range(len(jpegs))]
+                  for i in range(n_frames))
         planar = True
     else:
-        frames, size = [], None
-        for path in args.frames:
-            img, s = _load(path)
-            if size is None:
-                size = s
-            elif s != size:
-                print(json.dumps({"error": f"{path} is {s}, stream is "
-                                           f"{size} — same-size frames "
-                                           f"only"}))
-                return 1
-            frames.append(img[None])
+        first, size = _load(args.frames[0])
+        n_frames = len(args.frames)
+
+        def _frame_gen():
+            yield first[None]
+            for path in args.frames[1:]:
+                img, s = _load(path)
+                if s != size:
+                    raise ValueError(f"{path} is {s}, stream is "
+                                     f"{size} — same-size frames only")
+                yield img[None]
+
+        frames = _frame_gen()
 
     k = args.max_faces
     smoothing = "one_euro" if args.smooth else None
@@ -357,9 +367,21 @@ def cmd_track(args):
         os.makedirs(args.render_dir, exist_ok=True)
     sx, sy = size if args.pixels else (1.0, 1.0)
     n_skipped = 0
-    for i, frame in enumerate(frames):
-        skipped = bool(np.asarray(tracker.tracking).all()) \
-            if np.asarray(tracker.tracking).size else False
+    frame_iter = enumerate(frames)
+    while True:
+        try:
+            i, frame = next(frame_iter)
+        except StopIteration:
+            break
+        except ValueError as e:  # size mismatch mid-stream
+            print(json.dumps({"error": str(e)}))
+            return 1
+        # a --redetect-every pass runs the detector even while locked
+        forced = (tracker.redetect_every is not None
+                  and tracker._steps % tracker.redetect_every == 0)
+        skipped = (not forced
+                   and bool(np.asarray(tracker.tracking).size)
+                   and bool(np.asarray(tracker.tracking).all()))
         res = tracker.step(frame)
         n_skipped += int(skipped)
         det = np.asarray(res.detection).reshape(-1, 8, 2)
@@ -393,7 +415,7 @@ def cmd_track(args):
                 render_to_image(anns, img_hwc).save(out_png)
                 rec["render"] = out_png
         print(json.dumps(rec))
-    print(json.dumps({"frames": len(frames),
+    print(json.dumps({"frames": n_frames,
                       "detector_skipped_on": n_skipped,
                       "smoothing": bool(smoothing)}))
     return 0

@@ -91,7 +91,47 @@ def _one_euro_step(x, x_hat, dx_hat, cont, cfg: OneEuroConfig):
     return new_hat, new_d
 
 
-class LandmarkSmoother:
+def _filter_step(x, valid, x_hat, dx_hat, ok, cfg):
+    """Shared stateful update over one [..., N, C] point set: filter
+    continuing streams, pass invalid rows through raw, reset their
+    state.  Returns (out, new_x_hat, new_dx_hat, new_ok)."""
+    new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, ok & valid, cfg)
+    vb = valid[..., None, None]
+    return (jnp.where(vb, new_hat, x),
+            jnp.where(vb, new_hat, x),
+            jnp.where(vb, new_d, jnp.zeros_like(new_d)),
+            valid)
+
+
+class _SmootherBase:
+    """Config validation + per-shape (x_hat, dx_hat, ok) state + one
+    cached jitted program, shared by both smoothers."""
+
+    def __init__(self, config: Optional[OneEuroConfig] = None):
+        self.config = config if config is not None else OneEuroConfig()
+        assert self.config.min_cutoff > 0 and self.config.rate > 0 \
+            and self.config.derivate_cutoff > 0
+        self._state = None  # (x_hat [lead+(N,C)], dx_hat, ok [lead])
+        self._jitted = None
+
+    def reset(self):
+        self._state = None
+
+    def _stored_state(self, shape, dtype, lead):
+        """Existing state if it matches the combined point-set shape,
+        else a fresh one (ok=False everywhere -> first call
+        initializes to the raw input).  NOTE shapes are normalized
+        coordinates and therefore resolution-blind: a caller that
+        re-keys its streams at the same shapes (e.g. the trackers on
+        a resolution change) must call ``reset()`` itself."""
+        st = self._state
+        if st is None or st[0].shape != shape or st[0].dtype != dtype:
+            z = jnp.zeros(shape, dtype)
+            st = (z, z, jnp.zeros(lead, bool))
+        return st
+
+
+class LandmarkSmoother(_SmootherBase):
     """Stateful OneEuro smoothing over batched landmark streams.
 
     Call with ``landmarks [..., N, C]`` (leading dims = streams, e.g.
@@ -99,30 +139,14 @@ class LandmarkSmoother:
     ``MultiFaceTracker``) and ``valid [...]`` per-stream flags; rows
     whose ``valid`` is False pass through raw and their filter state
     resets, so a re-acquired face restarts its filter instead of being
-    dragged toward stale history.  State follows the input shape: a
-    batch/geometry change resets automatically.
+    dragged toward stale history.  State follows the input SHAPE: a
+    batch-size change resets automatically, but a stream-identity or
+    resolution change at the same shapes needs an explicit
+    ``reset()`` (normalized coordinates look identical to the filter).
     """
 
-    def __init__(self, config: Optional[OneEuroConfig] = None):
-        self.config = config if config is not None else OneEuroConfig()
-        assert self.config.min_cutoff > 0 and self.config.rate > 0 \
-            and self.config.derivate_cutoff > 0
-        self._state = None  # (x_hat, dx_hat, ok [...])
-        self._jitted = None
-
-    def reset(self):
-        self._state = None
-
     def _fn(self, x, valid, x_hat, dx_hat, ok):
-        cont = ok & valid
-        new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, cont,
-                                        self.config)
-        vb = valid[..., None, None]
-        out = jnp.where(vb, new_hat, x)
-        return (out,
-                jnp.where(vb, new_hat, x),
-                jnp.where(vb, new_d, jnp.zeros_like(new_d)),
-                valid)
+        return _filter_step(x, valid, x_hat, dx_hat, ok, self.config)
 
     def __call__(self, landmarks, valid=None):
         landmarks = jnp.asarray(landmarks)
@@ -131,12 +155,7 @@ class LandmarkSmoother:
             valid = jnp.ones(lead, bool)
         else:
             valid = jnp.broadcast_to(jnp.asarray(valid, bool), lead)
-        st = self._state
-        if (st is None or st[0].shape != landmarks.shape
-                or st[0].dtype != landmarks.dtype):
-            # fresh state: first call initializes to the raw input
-            st = (landmarks, jnp.zeros_like(landmarks),
-                  jnp.zeros(lead, bool))
+        st = self._stored_state(landmarks.shape, landmarks.dtype, lead)
         if self._jitted is None:
             self._jitted = jax.jit(self._fn)
         out, x_hat, dx_hat, ok = self._jitted(landmarks, valid, *st)
@@ -144,37 +163,24 @@ class LandmarkSmoother:
         return out
 
 
-class ResultSmoother:
+class ResultSmoother(_SmootherBase):
     """OneEuro over a tracker result's mesh AND iris landmarks in ONE
     program (a separate iris filter would both cost an extra dispatch
     per step and normalize speed by the tiny iris bbox instead of the
-    face — the 478 points are filtered as one face-scaled set)."""
-
-    def __init__(self, config: Optional[OneEuroConfig] = None):
-        self.config = config if config is not None else OneEuroConfig()
-        assert self.config.min_cutoff > 0 and self.config.rate > 0 \
-            and self.config.derivate_cutoff > 0
-        self._state = None
-        self._jitted = None
-
-    def reset(self):
-        self._state = None
+    face — the 478 points are filtered as one face-scaled set).
+    The concat/filter/split all happen inside the single jitted
+    program, so the host API costs one dispatch per step."""
 
     def _fn(self, mesh, iris, valid, x_hat, dx_hat, ok):
         lead = mesh.shape[:-2]
         x = jnp.concatenate(
             [mesh, iris.reshape(lead + (-1, mesh.shape[-1]))], axis=-2)
-        cont = ok & valid
-        new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, cont,
-                                        self.config)
-        vb = valid[..., None, None]
-        out = jnp.where(vb, new_hat, x)
+        out, x_hat, dx_hat, ok = _filter_step(x, valid, x_hat, dx_hat,
+                                              ok, self.config)
         n = mesh.shape[-2]
         return (out[..., :n, :],
                 out[..., n:, :].reshape(iris.shape),
-                jnp.where(vb, new_hat, x),
-                jnp.where(vb, new_d, jnp.zeros_like(new_d)),
-                valid)
+                x_hat, dx_hat, ok)
 
     def __call__(self, mesh, iris, valid):
         mesh = jnp.asarray(mesh)
@@ -184,11 +190,7 @@ class ResultSmoother:
         total = mesh.shape[-2] + int(
             np.prod(iris.shape[len(lead):-1]))
         comb_shape = lead + (total, mesh.shape[-1])
-        st = self._state
-        if (st is None or st[0].shape != comb_shape
-                or st[0].dtype != mesh.dtype):
-            z = jnp.zeros(comb_shape, mesh.dtype)
-            st = (z, z, jnp.zeros(lead, bool))
+        st = self._stored_state(comb_shape, mesh.dtype, lead)
         if self._jitted is None:
             self._jitted = jax.jit(self._fn)
         m, ir, x_hat, dx_hat, ok = self._jitted(mesh, iris, valid, *st)

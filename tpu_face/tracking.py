@@ -265,6 +265,10 @@ class FaceTracker:
                 jnp.zeros((b, 5), jnp.float32),
                 jnp.zeros((b,), bool))
             self._state_hw = (h, w)
+            if self._smoother is not None:
+                # normalized landmark shapes are resolution-blind, so
+                # the filter cannot see this reset on its own
+                self._smoother.reset()
         force = (self.redetect_every is not None
                  and self._steps % self.redetect_every == 0)
         res, self._state = self._get_jitted((h, w))(
@@ -529,6 +533,10 @@ class MultiFaceTracker:
                 jnp.zeros((b, k), bool),
                 jnp.zeros((b,), bool))
             self._state_hw = (h, w)
+            if self._smoother is not None:
+                # normalized landmark shapes are resolution-blind (see
+                # FaceTracker.step)
+                self._smoother.reset()
         force = (self.redetect_every is not None
                  and self._steps % self.redetect_every == 0)
         res, self._state = self._get_jitted((h, w))(
