@@ -69,11 +69,16 @@ def main():
         _force(tr.step(batch))          # tracked-path compile
         locked = float(np.asarray(tr.tracking).mean())
         assert locked == 1.0, f"{height}p: only {locked:.2f} locked"
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = tr.step(batch)
-        _force(out)
-        dt = time.perf_counter() - t0
+        # PERF.md rule 4: the first timing loop of a fresh process
+        # reads up to 60% slow — measure twice, keep the second
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = tr.step(batch)
+            _force(out)
+            best = time.perf_counter() - t0
+        dt = best
         assert float(np.asarray(tr.tracking).mean()) == 1.0, \
             f"{height}p: lost lock mid-loop"
         fps = B * args.iters / dt
