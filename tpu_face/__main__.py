@@ -425,12 +425,14 @@ def cmd_info(args):
     import jax
 
     from . import __version__
+    from .utils import native_loader
     dev = jax.devices()[0]
     print(json.dumps({
         "version": __version__,
         "backend": dev.platform,
         "device": str(dev.device_kind),
         "n_devices": jax.device_count(),
+        "native_loader": native_loader.available(),
         "models": ["front", "back", "short", "full", "full_sparse",
                    "face_landmark", "iris_landmark"],
     }))
