@@ -29,6 +29,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--grid", type=int, default=2,
+                    help="NxN face-crop grid (use 3 for K=8 sweeps)")
+    ap.add_argument("--k", default="1,4",
+                    help="comma-separated max_faces values")
     args = ap.parse_args()
 
     import jax
@@ -50,9 +54,10 @@ def main():
                      .convert("RGB"), np.uint8)
     crop = img[50:240, 170:360]
     ch, cw = crop.shape[:2]
-    canvas = np.zeros((2 * ch, 2 * cw, 3), np.uint8)
-    for r in range(2):
-        for c in range(2):
+    g = args.grid
+    canvas = np.zeros((g * ch, g * cw, 3), np.uint8)
+    for r in range(g):
+        for c in range(g):
             canvas[r * ch:(r + 1) * ch, c * cw:(c + 1) * cw] = crop
 
     rng = np.random.default_rng(0)
@@ -64,7 +69,7 @@ def main():
         frames.append(np.ascontiguousarray(f))
     batch = jnp.asarray(np.stack(frames))
 
-    for k in (1, 4):
+    for k in (int(v) for v in args.k.split(",")):
         c = FaceCascade(FaceDetectionModel.FULL_SPARSE, max_faces=k,
                         nms_top_m=2304, compute_dtype=jnp.bfloat16)
         out = c(batch)
