@@ -209,3 +209,16 @@ def test_cli_track_rejects_mixed_sizes(tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert rc == 1
     assert "same-size" in lines[-1]["error"]
+
+
+def test_cli_mesh_matches_baseline(tmp_path, capsys):
+    png = str(tmp_path / "mesh.png")
+    rc, d = _run(capsys, ["mesh", MAN, "--pixels", "--render", png])
+    assert rc == 0
+    assert len(d["mesh"]) == 468
+    # raw (pre-iris-refinement) mesh: nose within the px budget
+    assert d["mesh"][1][0] == pytest.approx(263.85, abs=1.0)
+    assert d["mesh"][1][1] == pytest.approx(143.37, abs=1.0)
+    assert d["face"]["score"] == pytest.approx(0.9595, abs=0.002)
+    import os
+    assert os.path.getsize(png) > 10000
