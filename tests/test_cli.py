@@ -222,3 +222,33 @@ def test_cli_mesh_matches_baseline(tmp_path, capsys):
     assert d["face"]["score"] == pytest.approx(0.9595, abs=0.002)
     import os
     assert os.path.getsize(png) > 10000
+
+
+@pytest.mark.slow
+def test_cli_track_multiface(tmp_path, capsys):
+    """--max-faces > 1 routes through MultiFaceTracker; a two-face
+    scene reports both faces per frame."""
+    import numpy as np
+    from PIL import Image
+
+    from tpu_face.utils.image_io import load_image
+
+    img = load_image(MAN)
+    scene = np.concatenate([img, img[:, ::-1]], axis=1)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"m{i}.png")
+        Image.fromarray(np.roll(scene, 2 * i, axis=1)).save(p)
+        paths.append(p)
+
+    rc = main(["track", *paths, "--max-faces", "2", "--model",
+               "full_sparse", "--pixels"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    rows, summary = lines[:3], lines[3]
+    for r in rows:
+        assert len(r["faces"]) == 2
+    assert rows[0]["detector_skipped"] is False
+    assert all(r["detector_skipped"] for r in rows[1:])
+    assert summary["frames"] == 3
