@@ -57,6 +57,32 @@ def test_cascade_roundtrip_and_attach(artifact, frames):
                                   np.asarray(out.mesh_valid))
 
 
+def test_stablehlo_artifact_is_pickle_free(artifact, tmp_path):
+    """The default artifact kind must be safe to load from untrusted
+    sources: a pickle-free container (magic + JSON meta + raw
+    jax.export payload), and ``load`` must refuse to unpickle
+    anything that isn't an executable-kind container."""
+    import json
+    import pickle
+    import struct
+
+    p, _ = artifact
+    raw = p.read_bytes()
+    assert raw.startswith(aot._MAGIC)
+    (n,) = struct.unpack(">Q", raw[len(aot._MAGIC):len(aot._MAGIC) + 8])
+    meta = json.loads(raw[len(aot._MAGIC) + 8:len(aot._MAGIC) + 8 + n])
+    assert meta["kind"] == "stablehlo"
+
+    evil = tmp_path / "evil.aot"
+    evil.write_bytes(pickle.dumps({"meta": {"format": "x"}}))
+    with pytest.raises(ValueError, match="artifact"):
+        aot.load(evil)
+    not_pickle = tmp_path / "junk.aot"
+    not_pickle.write_bytes(b"PNG\x89 definitely not an artifact")
+    with pytest.raises(ValueError, match="artifact"):
+        aot.load(not_pickle)
+
+
 def test_attach_rejects_mismatches(artifact):
     p, _ = artifact
     with pytest.raises(ValueError, match="FaceCascade"):

@@ -128,6 +128,78 @@ def test_config_validation():
         LandmarkSmoother(OneEuroConfig(min_cutoff=0.0))
 
 
+def test_dropped_frame_dt_smooths_like_two_steps():
+    """Real-timestamp semantics (upstream landmarks_smoothing
+    integrates frame timestamps): one step with dt=2/rate must smooth
+    like TWO unit steps, not like one — and must match the analytic
+    one-pole update at te=2/rate exactly (beta=0 makes the cutoff
+    constant, so the filter is a plain low-pass)."""
+    cfg = OneEuroConfig(min_cutoff=1.0, beta=0.0, rate=30.0)
+    te = 1.0 / 30.0
+    x0 = np.full((1, 4, 3), 0.2, np.float32)
+    x1 = np.full((1, 4, 3), 0.6, np.float32)
+
+    def smoothed(dts):
+        sm = LandmarkSmoother(cfg)
+        sm(x0)  # init = raw
+        out = None
+        for dt in dts:
+            out = np.asarray(sm(x1, dt=dt))
+        return out
+
+    two_unit = smoothed([te, te])
+    dropped = smoothed([2.0 * te])
+    one_unit = smoothed([te])
+
+    # analytic: x_hat = a*x1 + (1-a)*x0 with a = 1/(1 + tau/te')
+    tau = 1.0 / (2.0 * np.pi * cfg.min_cutoff)
+    a2 = 1.0 / (1.0 + tau / (2.0 * te))
+    np.testing.assert_allclose(
+        dropped, a2 * x1 + (1.0 - a2) * x0, atol=1e-6)
+    # the dropped-frame step lands near two unit steps, not one
+    assert (np.abs(dropped - two_unit).max()
+            < np.abs(dropped - one_unit).max()), \
+        (dropped[0, 0, 0], two_unit[0, 0, 0], one_unit[0, 0, 0])
+
+
+def test_dt_default_equals_config_rate():
+    """dt=None is exactly dt=1/rate — the fixed-fps behavior of
+    rounds 1-3 is the default, real timestamps are opt-in."""
+    frames, _ = _noisy_static(n=10)
+    sm_a, sm_b = LandmarkSmoother(), LandmarkSmoother()
+    for f in frames:
+        a = np.asarray(sm_a(f))
+        b = np.asarray(sm_b(f, dt=1.0 / 30.0))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dt_validation():
+    sm = LandmarkSmoother()
+    with pytest.raises(ValueError, match="dt"):
+        sm(np.zeros((1, 4, 3), np.float32), dt=0.0)
+    with pytest.raises(ValueError, match="dt"):
+        sm(np.zeros((1, 4, 3), np.float32), dt=-0.1)
+
+
+def test_result_smoother_dt_no_retrace():
+    """Variable dt rides ONE jitted program (te is a traced scalar) —
+    per-frame dt changes must not recompile."""
+    import jax
+
+    from tpu_face.smoothing import ResultSmoother
+
+    sm = ResultSmoother()
+    mesh = np.full((1, 40, 3), 0.5, np.float32)
+    iris = np.full((1, 2, 5, 3), 0.5, np.float32)
+    sm(mesh, iris, np.ones(1, bool), dt=1 / 30)
+    traced = sm._jitted
+    with jax.checking_leaks():
+        for dt in (1 / 30, 2 / 30, 1 / 24, None):
+            sm(mesh, iris, np.ones(1, bool), dt=dt)
+    assert sm._jitted is traced
+    assert traced._cache_size() == 1, traced._cache_size()
+
+
 def test_tracker_smoothing_wiring():
     """FaceTracker(smoothing=...): output mesh/iris smoothed, state
     ROIs identical to an unsmoothed tracker (dynamics unchanged),

@@ -332,11 +332,25 @@ def cmd_track(args):
         w, h = info
         size = (w, h)
         # decode lazily, one frame per step — a long stream must not
-        # be materialized in host RAM up front
+        # be materialized in host RAM up front.  Mid-stream size
+        # changes / undecodable frames fail the same way the frame-
+        # sequence branch does (ValueError -> JSON error line), never
+        # as silent zero-filled frames that just drop tracking lock.
         n_frames = len(jpegs)
-        frames = (native_loader.decode_jpeg_batch(jpegs[i:i + 1], w, h,
-                                                  planar=True)
-                  for i in range(n_frames))
+
+        def _mjpeg_gen():
+            for i in range(n_frames):
+                finfo = native_loader.jpeg_info(jpegs[i])
+                if finfo is None:
+                    raise ValueError(f"frame {i} is not a decodable "
+                                     f"JPEG")
+                if finfo != size:
+                    raise ValueError(f"frame {i} is {finfo}, stream is "
+                                     f"{size} — same-size frames only")
+                yield native_loader.decode_jpeg_batch(
+                    jpegs[i:i + 1], w, h, planar=True, strict=True)
+
+        frames = _mjpeg_gen()
         planar = True
     else:
         first, size = _load(args.frames[0])
@@ -365,6 +379,19 @@ def cmd_track(args):
                                 **cls_kw))
     if args.render_dir:
         os.makedirs(args.render_dir, exist_ok=True)
+    # real inter-frame dt for the OneEuro smoother (variable-fps
+    # sources): --timestamps FILE has one monotonic seconds value per
+    # frame; --fps is a fixed-rate shorthand.  Without either, the
+    # smoother's configured rate applies.
+    stamps = None
+    if args.timestamps:
+        stamps = [float(line) for line in
+                  open(args.timestamps).read().split()]
+        if len(stamps) < n_frames:
+            print(json.dumps({"error": f"{args.timestamps} has "
+                                       f"{len(stamps)} timestamps for "
+                                       f"{n_frames} frames"}))
+            return 1
     sx, sy = size if args.pixels else (1.0, 1.0)
     n_skipped = 0
     frame_iter = enumerate(frames)
@@ -376,13 +403,16 @@ def cmd_track(args):
         except ValueError as e:  # size mismatch mid-stream
             print(json.dumps({"error": str(e)}))
             return 1
+        if stamps is not None:
+            dt = stamps[i] - stamps[i - 1] if i else None
+        else:
+            dt = (1.0 / args.fps) if args.fps else None
         # a --redetect-every pass runs the detector even while locked
-        forced = (tracker.redetect_every is not None
-                  and tracker._steps % tracker.redetect_every == 0)
+        forced = tracker.next_step_forced
         skipped = (not forced
                    and bool(np.asarray(tracker.tracking).size)
                    and bool(np.asarray(tracker.tracking).all()))
-        res = tracker.step(frame)
+        res = tracker.step(frame, dt=dt)
         n_skipped += int(skipped)
         det = np.asarray(res.detection).reshape(-1, 8, 2)
         score = np.asarray(res.score).reshape(-1)
@@ -525,6 +555,13 @@ def main(argv=None):
                    help="force a detector pass every N frames")
     p.add_argument("--smooth", action="store_true",
                    help="OneEuro temporal landmark smoothing")
+    p.add_argument("--fps", type=float, default=None,
+                   help="source frame rate; sets the smoother's "
+                        "time base (default: config rate 30)")
+    p.add_argument("--timestamps", default=None,
+                   help="file with one per-frame timestamp (seconds) "
+                        "per line — real inter-frame dt for the "
+                        "smoother on variable-fps sources")
     p.add_argument("--render-dir", default=None,
                    help="write per-frame mesh-overlay PNGs here")
     p.set_defaults(fn=cmd_track)

@@ -25,19 +25,29 @@ installs a loaded program back into a live pipeline/tracker's jit
 cache so the ordinary host API (``__call__`` / ``infer_batch`` /
 ``step``) runs the pre-exported program.
 
-Artifacts are pickle containers — load only artifacts you produced
-(same trust model as TFLite flatbuffers or safetensors-with-pickle).
+``"stablehlo"`` artifacts are a pickle-free container (JSON metadata
+header + raw ``jax.export`` payload bytes) and are safe to load from
+untrusted sources — deserialization never executes artifact-supplied
+code.  ``"executable"`` artifacts necessarily pickle the PJRT pytree
+structures, so load only executables you produced (same trust model
+as safetensors-with-pickle); ``load()`` refuses to unpickle unless
+the file really is an executable-kind container.
 """
 
 from __future__ import annotations
 
+import json
 import pickle
+import struct
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 
 _FORMAT = "tpu-face-aot-v1"
+# pickle-free container for the "stablehlo" kind: magic, u64-be JSON
+# metadata length, JSON metadata, raw jax.export payload to EOF
+_MAGIC = b"TPUFACE-AOT\x00"
 
 _registered = False
 
@@ -131,7 +141,12 @@ def save(obj, path, batch: int, height: int, width: int,
         _register_result_types()
         exp = export.export(fn)(*specs)
         meta["platforms"] = list(exp.platforms)
-        container = {"meta": meta, "payload": exp.serialize()}
+        head = json.dumps(meta).encode()
+        with open(path, "wb") as f:
+            f.write(_MAGIC)
+            f.write(struct.pack(">Q", len(head)))
+            f.write(head)
+            f.write(bytes(exp.serialize()))
     else:
         from jax.experimental import serialize_executable as se
 
@@ -141,8 +156,8 @@ def save(obj, path, batch: int, height: int, width: int,
         container = {"meta": meta, "payload": payload,
                      "in_tree": pickle.dumps(in_tree),
                      "out_tree": pickle.dumps(out_tree)}
-    with open(path, "wb") as f:
-        pickle.dump(container, f)
+        with open(path, "wb") as f:
+            pickle.dump(container, f)
     return path
 
 
@@ -164,25 +179,34 @@ class LoadedProgram:
 
 def load(path) -> LoadedProgram:
     with open(Path(path), "rb") as f:
+        head = f.read(len(_MAGIC))
+        if head == _MAGIC:
+            # pickle-free stablehlo container — safe on untrusted input
+            (n,) = struct.unpack(">Q", f.read(8))
+            meta = json.loads(f.read(n).decode())
+            if meta.get("format") != _FORMAT:
+                raise ValueError(f"not a {_FORMAT} artifact: {path}")
+            from jax import export
+
+            _register_result_types()
+            exp = export.deserialize(f.read())
+            return LoadedProgram(meta, jax.jit(exp.call))
+        # only the opt-in "executable" kind is pickled; refuse to
+        # unpickle anything that doesn't at least look like one
+        if not head.startswith(b"\x80"):
+            raise ValueError(f"not a {_FORMAT} artifact: {path}")
+        f.seek(0)
         container = pickle.load(f)
     meta = container["meta"]
-    if meta.get("format") != _FORMAT:
-        raise ValueError(f"not a {_FORMAT} artifact: {path}")
-    if meta["kind"] == "stablehlo":
-        from jax import export
+    if meta.get("format") != _FORMAT or meta.get("kind") != "executable":
+        raise ValueError(f"not a {_FORMAT} executable artifact: {path}")
+    from jax.experimental import serialize_executable as se
 
-        _register_result_types()
-        exp = export.deserialize(container["payload"])
-        call = jax.jit(exp.call)
-    else:
-        from jax.experimental import serialize_executable as se
-
-        compiled = se.deserialize_and_load(
-            container["payload"],
-            pickle.loads(container["in_tree"]),
-            pickle.loads(container["out_tree"]))
-        call = compiled
-    return LoadedProgram(meta, call)
+    compiled = se.deserialize_and_load(
+        container["payload"],
+        pickle.loads(container["in_tree"]),
+        pickle.loads(container["out_tree"]))
+    return LoadedProgram(meta, compiled)
 
 
 def attach(obj, path, pad_batch: bool = False) -> LoadedProgram:

@@ -42,7 +42,9 @@ class OneEuroConfig(NamedTuple):
     ``beta`` scales the cutoff with speed — higher = snappier motion
     (speed is in face-diagonals/second, see ``scale_by_face``);
     ``derivate_cutoff`` (Hz) low-passes the speed estimate itself;
-    ``rate`` is the assumed frame rate (fixed-fps streams).
+    ``rate`` is the assumed frame rate, used only when the caller does
+    not pass real inter-frame ``dt`` (variable-fps streams should —
+    the upstream calculator integrates actual frame timestamps).
     """
 
     min_cutoff: float = 0.05
@@ -55,20 +57,23 @@ class OneEuroConfig(NamedTuple):
     scale_by_face: bool = True
 
 
-def _alpha(cutoff, rate):
+def _alpha(cutoff, te):
     """EMA coefficient of a first-order low-pass at ``cutoff`` Hz
-    sampled at ``rate`` Hz."""
+    sampled ``te`` seconds after the previous sample."""
     tau = 1.0 / (2.0 * jnp.pi * cutoff)
-    te = 1.0 / rate
     return 1.0 / (1.0 + tau / te)
 
 
-def _one_euro_step(x, x_hat, dx_hat, cont, cfg: OneEuroConfig):
+def _one_euro_step(x, x_hat, dx_hat, cont, cfg: OneEuroConfig, te):
     """One filter update over [..., N, C] landmarks.
 
     ``cont`` [...] marks streams whose state continues from the
     previous frame; non-continuing streams re-initialize to the raw
-    input (first frame of a track, or a re-acquired stream)."""
+    input (first frame of a track, or a re-acquired stream).
+    ``te`` is the elapsed time (s) since the previous frame — the
+    upstream landmarks_smoothing calculator integrates real frame
+    timestamps, so a dropped frame (2x te) both doubles the measured
+    speed window and doubles the low-pass step."""
     speed_scale = 1.0
     if cfg.scale_by_face:
         ext = (jnp.max(x[..., :2], axis=-2)
@@ -78,11 +83,11 @@ def _one_euro_step(x, x_hat, dx_hat, cont, cfg: OneEuroConfig):
         # not blow the speed estimate up into permanent passthrough
         speed_scale = 1.0 / jnp.maximum(diag, 1e-2)[..., None, None]
 
-    dx = (x - x_hat) * cfg.rate
-    a_d = _alpha(cfg.derivate_cutoff, cfg.rate)
+    dx = (x - x_hat) / te
+    a_d = _alpha(cfg.derivate_cutoff, te)
     dx_f = a_d * dx + (1.0 - a_d) * dx_hat
     cutoff = cfg.min_cutoff + cfg.beta * jnp.abs(dx_f) * speed_scale
-    a = _alpha(cutoff, cfg.rate)
+    a = _alpha(cutoff, te)
     x_f = a * x + (1.0 - a) * x_hat
 
     cont_b = cont[..., None, None]
@@ -91,11 +96,12 @@ def _one_euro_step(x, x_hat, dx_hat, cont, cfg: OneEuroConfig):
     return new_hat, new_d
 
 
-def _filter_step(x, valid, x_hat, dx_hat, ok, cfg):
+def _filter_step(x, valid, x_hat, dx_hat, ok, cfg, te):
     """Shared stateful update over one [..., N, C] point set: filter
     continuing streams, pass invalid rows through raw, reset their
     state.  Returns (out, new_x_hat, new_dx_hat, new_ok)."""
-    new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, ok & valid, cfg)
+    new_hat, new_d = _one_euro_step(x, x_hat, dx_hat, ok & valid, cfg,
+                                    te)
     vb = valid[..., None, None]
     return (jnp.where(vb, new_hat, x),
             jnp.where(vb, new_hat, x),
@@ -130,6 +136,15 @@ class _SmootherBase:
             st = (z, z, jnp.zeros(lead, bool))
         return st
 
+    def _te(self, dt):
+        """Elapsed seconds since the previous frame as a TRACED f32
+        scalar (variable-fps streams must not retrace per dt);
+        ``dt=None`` keeps the fixed-rate default 1/cfg.rate."""
+        te = (1.0 / self.config.rate) if dt is None else float(dt)
+        if te <= 0:
+            raise ValueError(f"dt must be positive, got {dt}")
+        return jnp.float32(te)
+
 
 class LandmarkSmoother(_SmootherBase):
     """Stateful OneEuro smoothing over batched landmark streams.
@@ -145,10 +160,13 @@ class LandmarkSmoother(_SmootherBase):
     ``reset()`` (normalized coordinates look identical to the filter).
     """
 
-    def _fn(self, x, valid, x_hat, dx_hat, ok):
-        return _filter_step(x, valid, x_hat, dx_hat, ok, self.config)
+    def _fn(self, x, valid, te, x_hat, dx_hat, ok):
+        return _filter_step(x, valid, x_hat, dx_hat, ok, self.config,
+                            te)
 
-    def __call__(self, landmarks, valid=None):
+    def __call__(self, landmarks, valid=None, dt=None):
+        """``dt``: seconds since the previous frame (real timestamps,
+        the upstream semantics); ``None`` assumes 1/config.rate."""
         landmarks = jnp.asarray(landmarks)
         lead = landmarks.shape[:-2]
         if valid is None:
@@ -158,7 +176,8 @@ class LandmarkSmoother(_SmootherBase):
         st = self._stored_state(landmarks.shape, landmarks.dtype, lead)
         if self._jitted is None:
             self._jitted = jax.jit(self._fn)
-        out, x_hat, dx_hat, ok = self._jitted(landmarks, valid, *st)
+        out, x_hat, dx_hat, ok = self._jitted(landmarks, valid,
+                                              self._te(dt), *st)
         self._state = (x_hat, dx_hat, ok)
         return out
 
@@ -171,18 +190,18 @@ class ResultSmoother(_SmootherBase):
     The concat/filter/split all happen inside the single jitted
     program, so the host API costs one dispatch per step."""
 
-    def _fn(self, mesh, iris, valid, x_hat, dx_hat, ok):
+    def _fn(self, mesh, iris, valid, te, x_hat, dx_hat, ok):
         lead = mesh.shape[:-2]
         x = jnp.concatenate(
             [mesh, iris.reshape(lead + (-1, mesh.shape[-1]))], axis=-2)
         out, x_hat, dx_hat, ok = _filter_step(x, valid, x_hat, dx_hat,
-                                              ok, self.config)
+                                              ok, self.config, te)
         n = mesh.shape[-2]
         return (out[..., :n, :],
                 out[..., n:, :].reshape(iris.shape),
                 x_hat, dx_hat, ok)
 
-    def __call__(self, mesh, iris, valid):
+    def __call__(self, mesh, iris, valid, dt=None):
         mesh = jnp.asarray(mesh)
         iris = jnp.asarray(iris)
         lead = mesh.shape[:-2]
@@ -193,6 +212,7 @@ class ResultSmoother(_SmootherBase):
         st = self._stored_state(comb_shape, mesh.dtype, lead)
         if self._jitted is None:
             self._jitted = jax.jit(self._fn)
-        m, ir, x_hat, dx_hat, ok = self._jitted(mesh, iris, valid, *st)
+        m, ir, x_hat, dx_hat, ok = self._jitted(mesh, iris, valid,
+                                                self._te(dt), *st)
         self._state = (x_hat, dx_hat, ok)
         return m, ir

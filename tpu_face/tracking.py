@@ -134,14 +134,17 @@ class FaceTracker:
                             f"OneEuroConfig, got {smoothing!r}")
         self._smoother = ResultSmoother(cfg)
 
-    def _smooth_result(self, res: CascadeResult) -> CascadeResult:
+    def _smooth_result(self, res: CascadeResult, dt=None
+                       ) -> CascadeResult:
         """Opt-in OneEuro smoothing of the OUTPUT landmarks; state
         rois / mesh_raw / validity stay raw (smoothing.py).  Mesh and
         iris ride ONE filter program (~0.5 ms/step dispatch here;
-        negligible on a non-tunneled host)."""
+        negligible on a non-tunneled host).  ``dt`` = real seconds
+        since the previous frame (None = the config's fixed rate)."""
         if self._smoother is None:
             return res
-        mesh, iris = self._smoother(res.mesh, res.iris, res.mesh_valid)
+        mesh, iris = self._smoother(res.mesh, res.iris, res.mesh_valid,
+                                    dt=dt)
         return res._replace(mesh=mesh, iris=iris)
 
     # ---- jitted step -----------------------------------------------------
@@ -248,7 +251,11 @@ class FaceTracker:
         if self._smoother is not None:
             self._smoother.reset()
 
-    def step(self, images) -> CascadeResult:
+    def step(self, images, dt=None) -> CascadeResult:
+        """One tracked step over a [B, ...] frame batch.  ``dt``:
+        seconds since the previous frame — only consumed by the
+        optional OneEuro smoother (real-timestamp smoothing for
+        variable-fps streams); tracking dynamics are dt-free."""
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -269,13 +276,22 @@ class FaceTracker:
                 # normalized landmark shapes are resolution-blind, so
                 # the filter cannot see this reset on its own
                 self._smoother.reset()
-        force = (self.redetect_every is not None
-                 and self._steps % self.redetect_every == 0)
         res, self._state = self._get_jitted((h, w))(
             images, self._state.roi, self._state.valid,
-            jnp.asarray(force))
+            jnp.asarray(self.next_step_forced))
         self._steps += 1
-        return self._smooth_result(res)
+        return self._smooth_result(res, dt)
+
+    @property
+    def next_step_forced(self) -> bool:
+        """True when the next ``step()`` will force a detector pass
+        for every stream regardless of lock state (the
+        ``redetect_every`` schedule; the first step of a fresh tracker
+        always detects through the mass-loss path instead).  Public so
+        callers reporting detector activity (e.g. the ``track`` CLI)
+        never re-derive the internal schedule."""
+        return (self.redetect_every is not None
+                and self._steps % self.redetect_every == 0)
 
     @property
     def tracking(self) -> np.ndarray:
@@ -407,6 +423,7 @@ class MultiFaceTracker:
     _repair_n = FaceTracker._repair_n
     _init_smoothing = FaceTracker._init_smoothing
     _smooth_result = FaceTracker._smooth_result
+    next_step_forced = FaceTracker.next_step_forced
 
     # ---- jitted step -----------------------------------------------------
 
@@ -517,7 +534,9 @@ class MultiFaceTracker:
 
     reset = FaceTracker.reset
 
-    def step(self, images) -> CascadeResult:
+    def step(self, images, dt=None) -> CascadeResult:
+        """One tracked step (see ``FaceTracker.step``; ``dt`` feeds
+        the optional smoother only)."""
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -537,13 +556,11 @@ class MultiFaceTracker:
                 # normalized landmark shapes are resolution-blind (see
                 # FaceTracker.step)
                 self._smoother.reset()
-        force = (self.redetect_every is not None
-                 and self._steps % self.redetect_every == 0)
         res, self._state = self._get_jitted((h, w))(
             images, self._state.roi, self._state.valid,
-            self._state.locked, jnp.asarray(force))
+            self._state.locked, jnp.asarray(self.next_step_forced))
         self._steps += 1
-        return self._smooth_result(res)
+        return self._smooth_result(res, dt)
 
     @property
     def tracking(self) -> np.ndarray:
