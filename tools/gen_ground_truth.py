@@ -8,7 +8,14 @@ OpenCV preprocessing (transform.rs:188-309), TFLite interpreter invoke
 and letterbox removal (transform.rs:115-142).  Entirely independent of
 the tpu_face runtime except the (count-validated) SSD anchor table.
 
-Usage: python tools/gen_ground_truth.py [image] [model ...]
+``cascade`` mode additionally transcribes the full landmark chain —
+face_detection_to_roi (face_landmark.rs:180-198), the rotated-ROI warp
+(transform.rs:188-309 with keep_aspect=false for the mesh / =true +
+flip for the irises), TFLite face_landmark + iris_landmark invokes, and
+project_landmarks (transform.rs:351-432) — producing the mesh / eye-ROI
+/ iris-center oracle rows for any test image.
+
+Usage: python tools/gen_ground_truth.py [image] [model|cascade ...]
 """
 
 import sys
@@ -158,9 +165,169 @@ def run(image_path, model_key):
     return results
 
 
+# ---- full-cascade oracle (mesh + iris stages) --------------------------
+
+
+def _rect_points(cx, cy, w, h, rot):
+    """types.rs:80-96 rotated corners (abs coords)."""
+    pts = np.array([(cx - w / 2, cy - h / 2), (cx + w / 2, cy - h / 2),
+                    (cx + w / 2, cy + h / 2), (cx - w / 2, cy + h / 2)],
+                   np.float64)
+    if rot != 0.0:
+        s, c = np.sin(rot), np.cos(rot)
+        d = pts - (cx, cy)
+        pts = np.stack([cx + d[:, 0] * c - d[:, 1] * s,
+                        cy + d[:, 0] * s + d[:, 1] * c], axis=1)
+    return pts
+
+
+def _bbox_to_roi(bbox, image_size, rot_keypoints, scale, square_long=True):
+    """transform.rs:44-109: normalized bbox -> normalized rotated ROI."""
+    iw, ih = image_size
+    xmin, ymin, xmax, ymax = bbox
+    w_abs = (xmax - xmin) * iw
+    h_abs = (ymax - ymin) * ih
+    if square_long:
+        long_side = max(w_abs, h_abs)
+        w, h = long_side / iw, long_side / ih
+    else:
+        w, h = xmax - xmin, ymax - ymin
+    w, h = w * scale[0], h * scale[1]
+    cx = xmin + (xmax - xmin) / 2.0
+    cy = ymin + (ymax - ymin) / 2.0
+    (x0, y0), (x1, y1) = rot_keypoints
+    angle = -np.arctan2(y0 - y1, x1 - x0)
+    rot = angle - 2 * np.pi * np.floor((angle + np.pi) / (2 * np.pi))
+    return (cx, cy, w, h, rot)
+
+
+def _warp_roi(img_rgb, roi_norm, out_size, keep_aspect, output_range,
+              flip_horizontal):
+    """transform.rs:188-309 with an explicit rotated ROI."""
+    ih, iw = img_rgb.shape[:2]
+    cx, cy, w, h, rot = roi_norm
+    cx, cy, w, h = cx * iw, cy * ih, w * iw, h * ih
+    if keep_aspect:
+        width, height = int(int(w)), int(int(h))  # Rect::size truncation
+    else:
+        width, height = out_size
+    src = _rect_points(cx, cy, w, h, rot).astype(np.float32)
+    dst = np.array([(0, 0), (width, 0), (width, height), (0, height)],
+                   np.float32)
+    m = cv2.getPerspectiveTransform(src, dst)
+    roi_image = cv2.warpPerspective(img_rgb, m, (width, height),
+                                    flags=cv2.INTER_LINEAR,
+                                    borderMode=cv2.BORDER_CONSTANT)
+    pad_x = pad_y = 0.0
+    if keep_aspect:
+        out_aspect = float(out_size[1] // out_size[0])
+        roi_aspect = h / w
+        new_w, new_h = int(w), int(h)
+        if out_aspect > roi_aspect:
+            new_h = int(w * out_aspect)
+            pad_y = (1.0 - roi_aspect / out_aspect) / 2.0
+        else:
+            new_w = int(h / out_aspect)
+            pad_x = (1.0 - out_aspect / roi_aspect) / 2.0
+        if new_w != int(w) or new_h != int(h):
+            ph, pv = int(pad_x * new_w), int(pad_y * new_h)
+            roi_image = cv2.copyMakeBorder(roi_image, pv, pv, ph, ph,
+                                           cv2.BORDER_CONSTANT, value=0)
+            roi_image = cv2.resize(roi_image, (new_w, new_h),
+                                   interpolation=cv2.INTER_LINEAR)
+        roi_image = cv2.resize(roi_image, out_size,
+                               interpolation=cv2.INTER_LINEAR)
+    if flip_horizontal:
+        roi_image = roi_image[:, ::-1]
+    lo, hi = output_range
+    tensor = (roi_image.astype(np.float64) * (hi - lo) / 255.0
+              + lo).astype(np.float32)
+    return tensor, (pad_x, pad_y, pad_x, pad_y)
+
+
+def _project_landmarks(raw, tensor_size, padding, roi_norm,
+                       flip_horizontal):
+    """transform.rs:351-432, ROI path."""
+    pts = raw.reshape(-1, 3).astype(np.float64)
+    tw, th = tensor_size
+    pts /= (tw, th, tw)
+    if flip_horizontal:
+        pts[:, 0] = 1.0 - pts[:, 0]
+    if padding != (0.0, 0.0, 0.0, 0.0):
+        left, top, right, bottom = padding
+        hs, vs = 1.0 - (left + right), 1.0 - (top + bottom)
+        pts[:, 0] = (pts[:, 0] - left) / hs
+        pts[:, 1] = (pts[:, 1] - top) / vs
+        pts[:, 2] = pts[:, 2] / hs
+    cx, cy, w, h, rot = roi_norm
+    s, c = np.sin(rot), np.cos(rot)
+    xy = pts[:, :2] - 0.5
+    rx = xy[:, 0] * c - xy[:, 1] * s
+    ry = xy[:, 0] * s + xy[:, 1] * c
+    return np.stack([rx * w + cx, ry * h + cy, pts[:, 2] * w], axis=1)
+
+
+def _invoke(model, tensor):
+    interp = tf.lite.Interpreter(model_path=f"{REF}/models/{model}.tflite")
+    interp.allocate_tensors()
+    (inp,) = interp.get_input_details()
+    interp.set_tensor(inp["index"], tensor[None])
+    interp.invoke()
+    return {int(np.prod(d["shape"])): interp.get_tensor(d["index"])
+            for d in interp.get_output_details()}
+
+
+def run_cascade(image_path, det_model="back"):
+    """Full reference chain: detect -> mesh -> eye ROIs -> 2x iris
+    (lib.rs:18-84 flow), printing the BASELINE.md oracle rows."""
+    bgr = cv2.imread(image_path)
+    img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    ih, iw = img.shape[:2]
+
+    dets = run(image_path, det_model)
+    d, score = dets[0]
+    bbox = (d[0, 0], d[0, 1], d[1, 0], d[1, 1])
+    eyes_px = [(d[2 + k, 0] * iw, d[2 + k, 1] * ih) for k in (0, 1)]
+    face_roi = _bbox_to_roi(bbox, (iw, ih), eyes_px, (1.5, 1.5))
+    print(f"face ROI: center ({face_roi[0]:.4f}, {face_roi[1]:.4f}), "
+          f"w {face_roi[2]:.4f}, h {face_roi[3]:.4f}, "
+          f"rot {face_roi[4]:.4f} rad")
+
+    tensor, pad = _warp_roi(img, face_roi, (192, 192), False, (0., 1.),
+                            False)
+    outs = _invoke("face_landmark", tensor)
+    flag = 1.0 / (1.0 + np.exp(-float(outs[1].reshape(()))))
+    mesh = _project_landmarks(outs[1404].reshape(-1), (192, 192),
+                              (0., 0., 0., 0.), face_roi, False)
+    print(f"face_flag {flag:.6f}; mesh: "
+          f"lmk[1] (nose) px ({mesh[1, 0] * iw:.2f}, {mesh[1, 1] * ih:.2f}), "
+          f"lmk[33] ({mesh[33, 0] * iw:.2f}, {mesh[33, 1] * ih:.2f}), "
+          f"lmk[263] ({mesh[263, 0] * iw:.2f}, {mesh[263, 1] * ih:.2f})")
+
+    for name, (i0, i1), is_right in (("L", (33, 133), False),
+                                     ("R", (362, 263), True)):
+        pair = mesh[[i0, i1], :2]
+        bbox_eye = (pair[:, 0].min(), pair[:, 1].min(),
+                    pair[:, 0].max(), pair[:, 1].max())
+        roi = _bbox_to_roi(bbox_eye, (iw, ih),
+                           [tuple(pair[0]), tuple(pair[1])], (2.3, 2.3))
+        print(f"eye ROI {name}: center ({roi[0]:.4f}, {roi[1]:.4f}) "
+              f"w {roi[2]:.4f} rot {roi[4]:.4f}")
+        tensor, pad = _warp_roi(img, roi, (64, 64), True, (0., 1.),
+                                is_right)
+        outs = _invoke("iris_landmark", tensor)
+        iris = _project_landmarks(outs[15].reshape(-1), (64, 64), pad,
+                                  roi, is_right)
+        print(f"iris center {name} px ({iris[0, 0] * iw:.2f}, "
+              f"{iris[0, 1] * ih:.2f})")
+
+
 if __name__ == "__main__":
     image = sys.argv[1] if len(sys.argv) > 1 else \
         f"{REF}/test_data/man.jpg"
     keys = sys.argv[2:] or list(MODELS)
     for k in keys:
-        run(image, k)
+        if k == "cascade":
+            run_cascade(image)
+        else:
+            run(image, k)

@@ -104,16 +104,26 @@ class FaceDetection:
 
     # ---- the fused device program -------------------------------------
 
-    def _pipeline(self, image_f32, roi_abs, method=None):
+    def _pipeline(self, image_f32, roi_abs, method=None,
+                  two_stage=None):
         """[H,W,3] f32 + (5,) abs ROI -> (data [T,P,2], score [T],
-        valid [T]).  Entirely on device."""
-        tensor, padding = image_ops.warp_image_to_tensor(
-            image_f32, roi_abs, (self.in_w, self.in_h),
-            keep_aspect_ratio=True, output_range=(-1.0, 1.0),
-            method=method or self._warp,
-            band=image_ops.auto_band(
-                max(image_f32.shape[0], image_f32.shape[1]),
-                self.in_h))
+        valid [T]).  Entirely on device.  ``two_stage``: static
+        intermediate geometry for the exact double-resize letterbox
+        (whole-image ROI on geometries where the fused single map is
+        inexact; image_ops.letterbox_two_stage_params)."""
+        if two_stage is not None:
+            h_, w_ = image_f32.shape[0], image_f32.shape[1]
+            tensor, padding = image_ops.letterbox_two_stage(
+                image_f32, (w_, h_), (self.in_w, self.in_h),
+                two_stage, (-1.0, 1.0))
+        else:
+            tensor, padding = image_ops.warp_image_to_tensor(
+                image_f32, roi_abs, (self.in_w, self.in_h),
+                keep_aspect_ratio=True, output_range=(-1.0, 1.0),
+                method=method or self._warp,
+                band=image_ops.auto_band(
+                    max(image_f32.shape[0], image_f32.shape[1]),
+                    self.in_h))
         raw_boxes, raw_scores = self._net(tensor[None])
         boxes = post.decode_boxes(raw_boxes[0], self.anchors,
                                   float(self.in_h))
@@ -125,18 +135,20 @@ class FaceDetection:
         out_d = post.letterbox_removal(out_d, padding)
         return out_d, out_s, out_v
 
-    def _get_jitted(self, h, w, method):
-        key = (h, w, method)
+    def _get_jitted(self, h, w, method, two_stage=None):
+        key = (h, w, method, two_stage)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
-                partial(self._pipeline, method=method))
+                partial(self._pipeline, method=method,
+                        two_stage=two_stage))
         return self._jitted[key]
 
-    def _get_jitted_batch(self, h, w, method):
-        key = ("batch", h, w, method)
+    def _get_jitted_batch(self, h, w, method, two_stage=None):
+        key = ("batch", h, w, method, two_stage)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(jax.vmap(
-                partial(self._pipeline, method=method)))
+                partial(self._pipeline, method=method,
+                        two_stage=two_stage)))
         return self._jitted[key]
 
     # ---- host API ------------------------------------------------------
@@ -144,8 +156,14 @@ class FaceDetection:
     def infer(self, image, roi: Optional[Rect] = None) -> List[Detection]:
         img = load_image(image)
         h, w = img.shape[:2]
+        two = None
         if roi is None:
             roi_abs = np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32)
+            # whole-image ROI: geometries where int-truncated pads make
+            # the reference's first resize non-identity take the exact
+            # double-resize path (portrait-frame oracle parity)
+            two = image_ops.letterbox_two_stage_params(
+                (w, h), (self.in_w, self.in_h))
         else:
             r = roi.scaled((float(w), float(h)), normalize=False)
             roi_abs = np.array([r.x_center, r.y_center, r.width, r.height,
@@ -153,7 +171,7 @@ class FaceDetection:
         # explicit ROIs beyond the Pallas envelope take the exact gather
         method = image_ops.choose_warp_method(
             self._warp, roi_abs, (w, h), (self.in_w, self.in_h), True)
-        out_d, out_s, out_v = self._get_jitted(h, w, method)(
+        out_d, out_s, out_v = self._get_jitted(h, w, method, two)(
             jnp.asarray(img), jnp.asarray(roi_abs))
         out_d, out_s, out_v = (np.asarray(out_d), np.asarray(out_s),
                                np.asarray(out_v))
@@ -175,7 +193,9 @@ class FaceDetection:
             np.array([0.5 * w, 0.5 * h, w, h, 0.0], np.float32), (b, 5))
         method = image_ops.choose_warp_method(
             self._warp, rois[0], (w, h), (self.in_w, self.in_h), True)
-        out_d, out_s, out_v = self._get_jitted_batch(h, w, method)(
+        two = image_ops.letterbox_two_stage_params(
+            (w, h), (self.in_w, self.in_h))
+        out_d, out_s, out_v = self._get_jitted_batch(h, w, method, two)(
             jnp.asarray(images), jnp.asarray(np.ascontiguousarray(rois)))
         out_d, out_s, out_v = (np.asarray(out_d), np.asarray(out_s),
                                np.asarray(out_v))

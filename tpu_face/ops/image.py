@@ -97,6 +97,84 @@ def letterbox_padding(roi_w, roi_h, out_size: Tuple[int, int], xp=jnp):
     return pad_x, pad_y, ph, pv
 
 
+def letterbox_two_stage_params(image_size: Tuple[int, int],
+                               out_size: Tuple[int, int]):
+    """Whether the reference's double-resize letterbox differs from the
+    fused single resample for a WHOLE-IMAGE ROI at this geometry.
+
+    The reference letterboxes in two materialized resizes
+    (transform.rs:252-280): pad by the int-truncated pixel pads, resize
+    to (new_w, new_h), resize to out_size.  The single fused map is
+    bit-exact whenever the padded size equals the first resize target
+    (then resize1 is identity — every landscape/square case in
+    practice); when int truncation breaks that (e.g. 200x225 portrait:
+    padded 224 wide, resize target 225), resize1 resamples and the
+    intermediate blur is observable in detector outputs.  Returns None
+    when the fused map is exact, else the static intermediate geometry
+    ``(new_w, new_h, ph, pv, pad_x, pad_y)`` for
+    ``letterbox_two_stage``.  Host-side, static ints only.
+    """
+    w, h = int(image_size[0]), int(image_size[1])
+    out_aspect = float(out_size[1] // out_size[0])  # transform.rs:240
+    roi_aspect = h / w
+    if out_aspect > roi_aspect:
+        new_w, new_h = w, int(w * out_aspect)
+        pad_x, pad_y = 0.0, (1.0 - roi_aspect / out_aspect) / 2.0
+    else:
+        new_w, new_h = int(h / out_aspect), h
+        pad_x, pad_y = (1.0 - out_aspect / roi_aspect) / 2.0, 0.0
+    if (new_w, new_h) == (w, h):
+        return None                      # no letterbox stage at all
+    ph, pv = int(pad_x * new_w), int(pad_y * new_h)
+    if (w + 2 * ph, h + 2 * pv) == (new_w, new_h):
+        return None                      # resize1 is identity -> fused
+    return (new_w, new_h, ph, pv, pad_x, pad_y)
+
+
+def letterbox_two_stage(source, image_size: Tuple[int, int],
+                        out_size: Tuple[int, int], params,
+                        output_range: Tuple[float, float],
+                        planar: bool = False, precision=None):
+    """Exact reference double-resize letterbox for the whole-image ROI
+    (transform.rs:252-280), including the intermediate uint8 Mat
+    quantization between the two resizes.  Only reached when
+    ``letterbox_two_stage_params`` reports the fused single map is
+    inexact; both resizes are separable hat matmuls (MXU-friendly),
+    stage 1 at the ~source-sized intermediate geometry.
+
+    ``source``: [H, W, 3] f32 image, or padded channel planes with
+    ``planar=True`` (their zero padding reproduces the zero border).
+    Returns (tensor [Ho, Wo, 3] f32, padding (4,) f32)."""
+    w, h = int(image_size[0]), int(image_size[1])
+    wo, ho = out_size
+    new_w, new_h, ph, pv, pad_x, pad_y = params
+
+    # stage 1: copy_make_border + resize to (new_w, new_h); the pad
+    # composes into the coordinate map (outside-source taps read the
+    # zero border)
+    x1 = ((jnp.arange(new_w, dtype=jnp.float32) + 0.5)
+          * (w + 2 * ph) / new_w - 0.5 - ph)
+    y1 = ((jnp.arange(new_h, dtype=jnp.float32) + 0.5)
+          * (h + 2 * pv) / new_h - 0.5 - pv)
+    sx = jnp.broadcast_to(x1[None, :], (new_h, new_w))
+    sy = jnp.broadcast_to(y1[:, None], (new_h, new_w))
+    if planar:
+        sample = separable_sample_planar
+    else:
+        sample = separable_sample
+        source = source.astype(jnp.float32)
+    mid = jnp.rint(sample(source, sx, sy, precision=precision))
+
+    # stage 2: resize to out_size over the uint8-quantized intermediate
+    x2 = (jnp.arange(wo, dtype=jnp.float32) + 0.5) * new_w / wo - 0.5
+    y2 = (jnp.arange(ho, dtype=jnp.float32) + 0.5) * new_h / ho - 0.5
+    sx2 = jnp.broadcast_to(x2[None, :], (ho, wo))
+    sy2 = jnp.broadcast_to(y2[:, None], (ho, wo))
+    out = separable_sample(mid, sx2, sy2, precision=precision)
+    padding = jnp.asarray([pad_x, pad_y, pad_x, pad_y], jnp.float32)
+    return _normalize_pixels(out, output_range, True), padding
+
+
 def warp_derivatives(roi_abs, out_size: Tuple[int, int],
                      keep_aspect_ratio: bool, xp=jnp):
     """|d src / d out| magnitudes (dxdu, dxdv, dydu, dydv) of the
@@ -535,17 +613,27 @@ def image_to_tensor(image, roi=None, output_size: Optional[Tuple[int, int]]
 
     img = load_image(image)
     h, w = img.shape[:2]
+    whole = roi is None
     if roi is None:
         roi = Rect(0.5, 0.5, 1.0, 1.0, 0.0, normalized=True)
     r = roi.scaled((float(w), float(h)), normalize=False)
     if output_size is None:
         output_size = (int(r.width), int(r.height))
-    roi_abs = jnp.asarray(np.array(
-        [r.x_center, r.y_center, r.width, r.height, r.rotation],
-        np.float32))
-    tensor, padding = warp_image_to_tensor(
-        jnp.asarray(img), roi_abs, output_size, keep_aspect_ratio,
-        output_range, flip_horizontal)
+    two = (letterbox_two_stage_params((w, h), output_size)
+           if (whole and keep_aspect_ratio) else None)
+    if two is not None:
+        tensor, padding = letterbox_two_stage(
+            jnp.asarray(img).astype(jnp.float32), (w, h), output_size,
+            two, output_range)
+        if flip_horizontal:
+            tensor = tensor[:, ::-1]  # reference flips the final Mat
+    else:
+        roi_abs = jnp.asarray(np.array(
+            [r.x_center, r.y_center, r.width, r.height, r.rotation],
+            np.float32))
+        tensor, padding = warp_image_to_tensor(
+            jnp.asarray(img), roi_abs, output_size, keep_aspect_ratio,
+            output_range, flip_horizontal)
     pad = np.asarray(padding, dtype=np.float64)
     return ImageTensor(np.asarray(tensor),
                        (pad[0], pad[1], pad[2], pad[3]), (w, h))

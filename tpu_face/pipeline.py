@@ -196,7 +196,19 @@ class _DetectorBase:
             dot_dtype = (jnp.bfloat16
                          if (self._compute_dtype == jnp.bfloat16
                              and max(w, h) > 720) else None)
-            if warp == "pallas":
+            # geometries where int-truncated pads make the reference's
+            # first letterbox resize non-identity (e.g. 200x225
+            # portrait) take the exact double-resize path — statically
+            # decided per frame geometry, so the common landscape/
+            # square shapes never pay for it
+            two = image_ops.letterbox_two_stage_params(
+                (w, h), (self.det_w, self.det_h))
+            if two is not None:
+                tensor, padding = image_ops.letterbox_two_stage(
+                    planes if warp == "pallas" else img,
+                    (w, h), (self.det_w, self.det_h), two,
+                    (-1.0, 1.0), planar=(warp == "pallas"))
+            elif warp == "pallas":
                 dx, dy, padding = image_ops._source_coords(
                     whole, (self.det_w, self.det_h), True, False)
                 tensor = image_ops._normalize_pixels(
