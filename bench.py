@@ -100,6 +100,9 @@ def main():
     # (~2-45 ms tunnel RTT) stays <2% of the measured window
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="independent timed windows for the headline "
+                         "number; value = median, spread recorded")
     ap.add_argument("--dtype", choices=["bf16", "f32", "auto"],
                     default="auto")
     ap.add_argument("--model", choices=["back", "short", "full"],
@@ -202,24 +205,53 @@ def main():
         _log("no configuration met the accuracy budget")
         sys.exit(1)
 
-    # compile for the bench batch, then steady-state timing
+    # tunnel RTT probe, recorded in the JSON: the dev-tunnel fetch
+    # round-trip varies 2-45 ms between sessions (docs/PERF.md) and is
+    # the dominant term of p50_batch1_ms — recording it next to the
+    # latency rows makes "tunnel was slow today" distinguishable from
+    # a real dispatch regression in the artifact itself.
+    one_f32 = batch[:1].astype(jnp.float32)
+    rtts = []
+    for i in range(7):
+        # a FRESH tiny device value each probe: fetching the same
+        # array twice reads jax's host-side cache and measures 0
+        scal = one_f32.ravel()[0] + jnp.float32(i)
+        jax.block_until_ready(scal)
+        t0 = time.perf_counter()
+        np.asarray(scal)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    _log(f"tunnel fetch RTT: {rtt * 1e3:.2f} ms (median of 7)")
+
+    # compile for the bench batch, then steady-state timing.  Three
+    # independent timed windows -> value = median, spread recorded:
+    # a single window cannot distinguish session variance (tunnel /
+    # nproc=1 host contention) from a real regression.
     jax.block_until_ready(cascade(batch))
     for _ in range(args.warmup):
         jax.block_until_ready(cascade(batch))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = cascade(batch)
-    # one tiny host fetch instead of trusting block_until_ready: the
-    # device executes enqueued programs in order, so materializing any
-    # leaf of the LAST step proves every iteration finished.  (Through
-    # a tunneled backend block_until_ready has been observed to no-op,
-    # which would silently time dispatch instead of compute.)
-    np.asarray(out.score)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = args.batch * args.iters / dt
-    step_ms = dt / args.iters * 1e3
-    _log(f"dtype={chosen} {fps:.1f} frames/s; {step_ms:.2f} ms/step "
+    window_fps = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = cascade(batch)
+        # one tiny host fetch instead of trusting block_until_ready:
+        # the device executes enqueued programs in order, so
+        # materializing any leaf of the LAST step proves every
+        # iteration finished.  (Through a tunneled backend
+        # block_until_ready has been observed to no-op, which would
+        # silently time dispatch instead of compute.)
+        np.asarray(out.score)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        window_fps.append(args.batch * args.iters / dt)
+    fps = float(np.median(window_fps))
+    spread_pct = float((max(window_fps) - min(window_fps))
+                       / fps * 100.0)
+    step_ms = args.batch / fps * 1e3
+    _log(f"dtype={chosen} {fps:.1f} frames/s "
+         f"(windows: {', '.join(f'{w:.0f}' for w in window_fps)}; "
+         f"spread {spread_pct:.1f}%); {step_ms:.2f} ms/step "
          f"({step_ms / args.batch:.4f} ms/frame)"
          f"{' [identical frames]' if args.identical else ' [distinct]'}")
 
@@ -248,6 +280,7 @@ def main():
     # measured separately below
     p50_ms = None
     p50_device_ms = None
+    p50_device_ms_b8 = None
     if not args.skip_p50:
         one = batch[:1]
         jax.block_until_ready(cascade(one))
@@ -284,17 +317,9 @@ def main():
 
         # k large enough that the +-RTT-variance of the single window
         # fetch (2-45 ms between sessions, docs/PERF.md) contributes
-        # <0.1 ms/call of error
+        # <0.1 ms/call of error; RTT itself measured once above and
+        # recorded in the JSON
         k = 200
-        rtts = []
-        for i in range(5):
-            # a FRESH tiny device value each probe: fetching the same
-            # array twice reads jax's host-side cache and measures 0
-            scal = one_f.ravel()[0] + jnp.float32(i)
-            t0 = time.perf_counter()
-            np.asarray(scal)
-            rtts.append(time.perf_counter() - t0)
-        rtt = float(np.median(rtts))
         np.asarray(rep(one_f, k))        # compile + warm
         windows = []
         for _ in range(5):
@@ -305,6 +330,65 @@ def main():
         _log(f"batch-1 device-only latency: {p50_device_ms:.3f} ms "
              f"(on-device repeat loop, fetch RTT {rtt * 1e3:.2f} ms "
              f"excluded)")
+
+        # serving batch (b=8): same device-only repeat-loop number,
+        # the latency a realistic serving batch sees on chip
+        eight = batch[:8].astype(jnp.float32)
+        k8 = 100
+        np.asarray(rep(eight, k8))
+        windows = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(rep(eight, k8))
+            windows.append((time.perf_counter() - t0 - rtt) / k8)
+        p50_device_ms_b8 = float(np.median(windows) * 1e3)
+        _log(f"batch-8 device-only latency: {p50_device_ms_b8:.3f} ms "
+             f"({p50_device_ms_b8 / 8:.3f} ms/frame)")
+
+    # trace-free serving path (docs/SERVING.md): save an
+    # executable-kind AOT artifact at the serving batch, attach it
+    # (installs into _jitted, so the host API skips tracing) and
+    # measure steady-state host-to-host latency through it.  With
+    # rtt_ms recorded alongside, the device+dispatch share is
+    # directly readable from the artifact.
+    p50_aot_b8_ms = None
+    aot_error = None
+    if not args.skip_p50:
+        try:
+            import tempfile
+
+            from tpu_face import aot
+
+            h, w = ((batch.shape[2], batch.shape[3])
+                    if args.layout == "planar"
+                    else (batch.shape[1], batch.shape[2]))
+            scas = FaceCascade(model,
+                               compute_dtype=(jnp.bfloat16
+                                              if chosen == "bf16"
+                                              else jnp.float32),
+                               input_layout=args.layout,
+                               warp_profile=args.warp_profile)
+            with tempfile.TemporaryDirectory() as td:
+                art = f"{td}/cascade_b8.tpuface"
+                aot.save(scas, art, batch=8, height=h, width=w,
+                         kind="executable")
+                aot.attach(scas, art)
+            eight_u8 = batch[:8]
+            r = scas(eight_u8)           # warm the attached program
+            np.asarray(r.score)
+            lats = []
+            for _ in range(30):
+                t0 = time.perf_counter()
+                r = scas(eight_u8)
+                np.asarray(r.score)
+                lats.append(time.perf_counter() - t0)
+            p50_aot_b8_ms = float(np.median(lats) * 1e3)
+            _log(f"batch-8 AOT-executable p50: {p50_aot_b8_ms:.2f} ms "
+                 f"host-to-host (trace-free attached program; fetch "
+                 f"RTT {rtt * 1e3:.2f} ms of that is tunnel)")
+        except Exception as e:                      # noqa: BLE001
+            aot_error = str(e)
+            _log(f"AOT serving measurement failed: {e}")
 
     tracking_fps = None
     tracking_churn_fps = None
@@ -485,11 +569,19 @@ def main():
         "distinct_content": not args.identical,
         "layout": args.layout,
         "warp_profile": args.warp_profile,
+        "spread_pct": round(spread_pct, 1),
+        "rtt_ms": round(rtt * 1e3, 2),
     }
     if p50_ms is not None:
         record["p50_batch1_ms"] = round(p50_ms, 2)
     if p50_device_ms is not None:
         record["p50_device_ms"] = round(p50_device_ms, 3)
+    if p50_device_ms_b8 is not None:
+        record["p50_device_ms_b8"] = round(p50_device_ms_b8, 3)
+    if p50_aot_b8_ms is not None:
+        record["p50_aot_b8_ms"] = round(p50_aot_b8_ms, 2)
+    if aot_error is not None:
+        record["aot_error"] = aot_error
     if mfu_pct is not None:
         record["mfu_pct"] = round(mfu_pct, 2)
     if tracking_fps is not None:
