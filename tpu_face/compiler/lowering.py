@@ -29,9 +29,15 @@ from jax import lax
 
 
 class Graph:
-    """A converted TFLite graph: op list + constant pool."""
+    """A converted TFLite graph: op list + constant pool.
 
-    def __init__(self, npz_path):
+    ``collapse_separable`` folds DEPTHWISE(3x3, linear) -> CONV(1x1)
+    pairs into one dense conv (see _collapse_separable_pairs): False
+    (off), True (every eligible pair), or a predicate
+    ``f(ci, co, h_out) -> bool`` selecting pairs.
+    """
+
+    def __init__(self, npz_path, collapse_separable=False):
         payload = np.load(npz_path, allow_pickle=False)
         meta = json.loads(str(payload["__graph__"]))
         self.inputs = meta["inputs"]
@@ -41,6 +47,12 @@ class Graph:
                        if k.startswith("t")}
         self.ops = _fold_pads_into_convs(meta["ops"], self.consts,
                                          set(self.outputs))
+        if collapse_separable:
+            pred = (collapse_separable if callable(collapse_separable)
+                    else None)
+            self.ops = _collapse_separable_pairs(
+                self.ops, self.consts, self.tensors,
+                set(self.outputs), pred)
 
     @property
     def input_shape(self):
@@ -91,6 +103,109 @@ def _fold_pads_into_convs(ops, consts, graph_outputs):
             continue
         folded.append(node)
     return folded
+
+
+def _collapse_separable_pairs(ops, consts, tensors, graph_outputs, pred):
+    """Fold linear DEPTHWISE_CONV -> 1x1 CONV pairs into one dense conv.
+
+    MediaPipe's face nets are separable-conv stacks (SURVEY.md §2.3):
+    every residual block runs DW(kxk, no activation) then CONV(1x1),
+    materializing the [B,H,W,C] intermediate in HBM twice (write +
+    read).  Because the depthwise stage is LINEAR here (TFLite fused
+    activation NONE on all 136 DW ops across the 6 bundled nets), the
+    pair composes exactly into one dense conv:
+
+        K_dense[o, kh, kw, i] = PW[o, 0, 0, i] * DW[0, kh, kw, i]
+        b_dense = PW[:, 0, 0, :] @ b_dw + b_pw
+
+    which eliminates the intermediate tensor's HBM round-trip and one
+    sequential op, at the cost of k*k x the pointwise FLOPs.  Whether
+    that trades well is per-layer (MXU lane utilization at small C vs
+    bytes saved) — callers pass ``pred(ci, co, h_out)`` to select
+    pairs from measurement (tools/tpu_sep_collapse_probe.py).
+
+    Eligibility: DW has depth_multiplier 1, activation NONE, dilation
+    1; its output feeds exactly the one 1x1 conv (stride 1, dilation
+    1) and is not a graph output.  Composition is done in f64 and
+    emitted f32 — bit-difference vs the uncollapsed pair is one
+    rounding of the weight product, far inside the TFLite-parity
+    tolerances (tests/test_net_parity.py) and the e2e budgets.
+    """
+    consumers = {}
+    for idx, node in enumerate(ops):
+        for t in node["inputs"]:
+            consumers.setdefault(t, []).append(idx)
+
+    def _weights(node):
+        ws = [i for i in node["inputs"][1:] if i in consts]
+        w = consts[node["inputs"][1]]
+        b = (consts[node["inputs"][2]]
+             if len(node["inputs"]) > 2 and node["inputs"][2] in consts
+             else None)
+        return w, b, ws
+
+    next_id = len(tensors)
+    out = []
+    skip = set()
+    for idx, node in enumerate(ops):
+        if idx in skip:
+            continue
+        if node["op"] != "DEPTHWISE_CONV_2D":
+            out.append(node)
+            continue
+        o = node["options"]
+        dw_out = node["outputs"][0]
+        cons = consumers.get(dw_out, [])
+        ok = (o["activation"] == "NONE"
+              and list(o.get("dilation", [1, 1])) == [1, 1]
+              and o.get("depth_multiplier", 1) == 1
+              and dw_out not in graph_outputs
+              and len(cons) == 1 and cons[0] > idx)
+        nxt = ops[cons[0]] if ok else None
+        if nxt is not None:
+            no = nxt["options"]
+            pw_w = (consts[nxt["inputs"][1]]
+                    if (nxt["op"] == "CONV_2D" and len(nxt["inputs"]) > 1
+                        and nxt["inputs"][1] in consts) else None)
+            ok = (pw_w is not None
+                  and pw_w.shape[1] == 1 and pw_w.shape[2] == 1
+                  and list(no.get("stride", [1, 1])) == [1, 1]
+                  and list(no.get("dilation", [1, 1])) == [1, 1]
+                  and nxt["inputs"][0] == dw_out)
+        if not ok:
+            out.append(node)
+            continue
+        dw_w, dw_b, _ = _weights(node)          # [1, kh, kw, C]
+        pw_w, pw_b, _ = _weights(nxt)           # [Co, 1, 1, C]
+        ci, co = dw_w.shape[3], pw_w.shape[0]
+        oshape = tensors[nxt["outputs"][0]]["shape"]
+        if pred is not None and not pred(ci, co, oshape[1]):
+            out.append(node)
+            continue
+        dw64 = dw_w.astype(np.float64)
+        pw64 = pw_w.astype(np.float64)
+        k = (pw64[:, :, :, :] * dw64[0][None]).astype(np.float32)
+        b = pw64[:, 0, 0, :] @ (dw_b.astype(np.float64)
+                                if dw_b is not None else np.zeros(ci))
+        if pw_b is not None:
+            b = b + pw_b.astype(np.float64)
+        b = b.astype(np.float32)
+        w_id, b_id = next_id, next_id + 1
+        next_id += 2
+        consts[w_id], consts[b_id] = k, b
+        tensors.append({"shape": list(k.shape), "name": "sep_w"})
+        tensors.append({"shape": list(b.shape), "name": "sep_b"})
+        out.append({
+            "op": "CONV_2D",
+            "inputs": [node["inputs"][0], w_id, b_id],
+            "outputs": list(nxt["outputs"]),
+            "options": {"stride": list(o["stride"]),
+                        "dilation": [1, 1],
+                        "padding": o["padding"],
+                        "activation": nxt["options"]["activation"]},
+        })
+        skip.add(cons[0])
+    return out
 
 
 def graph_flops(graph, batch: int = 1) -> int:
