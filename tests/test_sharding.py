@@ -43,6 +43,7 @@ def test_sharded_cascade_matches_single_device():
                                np.asarray(single_out.score), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

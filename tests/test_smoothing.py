@@ -278,6 +278,7 @@ def test_multiface_smoothing_continuous_across_redetect():
         assert d_px < 2.0, d_px
 
 
+@pytest.mark.slow
 def test_tracker_smoothing_resets_on_resolution_change():
     """Normalized landmark shapes are resolution-blind, so the
     tracker must reset the filter when its own state resets on a

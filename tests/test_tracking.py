@@ -211,6 +211,7 @@ def test_roi_from_mesh_matches_cascade_roi(video):
     assert abs(roi[4] - ref[4]) < 0.15
 
 
+@pytest.mark.slow
 def test_tracker_resolution_change_resets_state(video):
     """Absolute-pixel ROIs from one resolution must not be reused on
     another: switching frame size forces a clean re-detect."""
@@ -235,6 +236,7 @@ def test_tracker_reset(video):
     assert tracker.tracking.all()
 
 
+@pytest.mark.slow
 def test_tracker_auto_profile_is_the_fused_tracked_program():
     """The tracked path does NOT dispatch rt per batch under
     warp_profile='auto': the dispatch was built and measured a net
@@ -411,6 +413,7 @@ def test_multiface_scene_entry_keeps_slots(two_face_video):
     assert float(np.asarray(r.mesh)[0, s2, :, 0].mean()) > 0.5
 
 
+@pytest.mark.slow
 def test_multiface_tracker_planar_matches_hwc(two_face_video):
     """K-face tracking accepts planar frames with identical results."""
     from tpu_face.tracking import MultiFaceTracker

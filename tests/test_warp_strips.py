@@ -92,6 +92,7 @@ def test_strip_warp_vmapped_batch(frame_1080p):
                                    np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_strip_warp_nested_vmap_faces_share_planes(frame_1080p):
     """The cascade's nesting: inner vmap over faces (planes shared,
     in_axes None), outer vmap over frames."""
@@ -258,6 +259,7 @@ def test_wide_xload_covers_4k_scale_rois():
     assert float(jnp.max(jnp.abs(out - exact))) <= 1.0
 
 
+@pytest.mark.slow
 def test_cascade_4k_scale_face_keeps_fast_path():
     """Fused cascade on a >2560 px frame with a close-up face: the
     pallas path must match the gather path within budget and keep
