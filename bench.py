@@ -230,8 +230,7 @@ def main():
     jax.block_until_ready(cascade(batch))
     for _ in range(args.warmup):
         jax.block_until_ready(cascade(batch))
-    window_fps = []
-    for _ in range(args.repeats):
+    def timed_window():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = cascade(batch)
@@ -243,11 +242,22 @@ def main():
         # silently time dispatch instead of compute.)
         np.asarray(out.score)
         jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        window_fps.append(args.batch * args.iters / dt)
+        return args.batch * args.iters / (time.perf_counter() - t0)
+
+    window_fps = [timed_window() for _ in range(args.repeats)]
+    spread = lambda ws: (max(ws) - min(ws)) / np.median(ws) * 100.0
+    # contention-adaptive: a >2% window spread on this nproc=1 box
+    # means another host process starved the TPU driver thread during
+    # at least one window (the round-3 driver capture read 6% low for
+    # exactly this reason).  Extra windows give the median a chance to
+    # land on uncontended ones; the count is recorded so the artifact
+    # says whether it needed them.
+    while spread(window_fps) > 2.0 and len(window_fps) < args.repeats + 4:
+        _log(f"window spread {spread(window_fps):.1f}% > 2% — host "
+             f"contention suspected, timing an extra window")
+        window_fps.append(timed_window())
     fps = float(np.median(window_fps))
-    spread_pct = float((max(window_fps) - min(window_fps))
-                       / fps * 100.0)
+    spread_pct = float(spread(window_fps))
     step_ms = args.batch / fps * 1e3
     _log(f"dtype={chosen} {fps:.1f} frames/s "
          f"(windows: {', '.join(f'{w:.0f}' for w in window_fps)}; "
@@ -570,6 +580,8 @@ def main():
         "layout": args.layout,
         "warp_profile": args.warp_profile,
         "spread_pct": round(spread_pct, 1),
+        "n_windows": len(window_fps),
+        "best_window_fps": round(float(max(window_fps)), 1),
         "rtt_ms": round(rtt * 1e3, 2),
     }
     if p50_ms is not None:
