@@ -263,3 +263,33 @@ def test_arcface_similarity_two_subjects(arcface):
     w2 = _tflite_embed(tfl, _reference_crop_tensor(img2, b2))
     want = float(np.dot(w1, w2))
     assert abs(ours - want) < 2e-3, (ours, want)
+
+
+# The REAL ArcFace weights (the reference's separately-downloaded
+# flatbuffer, face_embeddings.rs:119-146) cannot be fetched from this
+# zero-egress environment (attempt log in models/face_embeddings.py).
+# If a converted real model is ever dropped at either location below,
+# this test runs automatically and asserts semantic same-person
+# similarity; until then it self-skips.
+import os  # noqa: E402
+
+_REAL_DIRS = [Path("/root/repo/tpu_face/data/real"),
+              Path(os.environ.get("TPU_FACE_ARCFACE_DIR", "/nonexistent"))]
+_REAL = next((d for d in _REAL_DIRS
+              if (d / "face_embeddings.npz").exists()), None)
+
+
+@pytest.mark.skipif(_REAL is None, reason=(
+    "real ArcFace weights absent (zero-egress env; drop a converted "
+    "face_embeddings.npz in tpu_face/data/real/ or set "
+    "TPU_FACE_ARCFACE_DIR to enable)"))
+def test_real_arcface_same_person_similarity():
+    """Reference semantic check (face_embeddings.rs:119-146): the two
+    russ_cox photos are the same person, so real-weight embeddings
+    must agree.  The reference test only prints the score; we assert
+    the same-person bar ArcFace-class models clear comfortably."""
+    emb = FaceEmbeddings(model_path=str(_REAL))
+    b1, b2 = _detect_bbox(RUSS_1), _detect_bbox(RUSS_2)
+    sim = similarity_score(emb.infer(RUSS_1, b1), emb.infer(RUSS_2, b2))
+    assert math.isfinite(sim) and -1.0 <= sim <= 1.0
+    assert sim > 0.3, f"same-person similarity {sim:.3f}"

@@ -17,8 +17,14 @@ downloadable ArcFace model and checks same-person cosine similarity.
 That download
 (https://www.digidow.eu/f/datasets/arcface-tensorflowlite/model.tflite,
 reference README.md:9-10) is unreachable from this environment (zero
-egress; ``curl`` fails with DNS resolution error, attempted 2026-08-17),
-so semantic discrimination cannot be asserted here.  What IS asserted:
+egress; ``curl`` fails with DNS resolution errors — attempted
+2026-08-17, retried 2026-08-19 against digidow.eu, github.com and
+storage.googleapis.com, all "Could not resolve host"), so semantic
+discrimination cannot be asserted here.  A real-weights similarity
+test exists and auto-enables the moment a converted model appears
+(tests/test_embeddings_arcface.py::
+test_real_arcface_same_person_similarity — drop the converted npz in
+``tpu_face/data/real/`` or point ``TPU_FACE_ARCFACE_DIR`` at it).  What IS asserted:
 the full graph path on a generated MobileFaceNet of the same
 architecture class — flatbuffer -> converter -> lowering -> fused
 crop+CNN+L2 — matches the TFLite interpreter to <=1e-4 relative
