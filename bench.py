@@ -124,6 +124,19 @@ def main():
                          "the in-step detection sub-batch)")
     ap.add_argument("--no-multiface", action="store_true",
                     help="skip the max_faces=4 crowd-scene row")
+    ap.add_argument("--no-f32-control", action="store_true",
+                    help="skip the f32 accuracy-gate control row "
+                         "(iou_f32): the bf16 gate margin is ~0.005 "
+                         "IoU, and without a control a future dip is "
+                         "not attributable to bf16 drift vs pipeline "
+                         "regression")
+    ap.add_argument("--no-variants", action="store_true",
+                    help="skip the SHORT detector-variant throughput "
+                         "row (fps_short)")
+    ap.add_argument("--no-hires", action="store_true",
+                    help="skip the 1080p/4K cascade + tracked rows "
+                         "(fps_1080p, fps_1080p_tracked, fps_4k, "
+                         "fps_4k_tracked)")
     ap.add_argument("--no-embed", action="store_true",
                     help="skip the fused detect->crop->embed "
                          "(EmbedCascade) measurement on the demo "
@@ -189,6 +202,7 @@ def main():
 
     order = (["bf16", "f32"] if args.dtype == "auto" else [args.dtype])
     cascade = None
+    gate_iou = None
     for name in order:
         dtype = jnp.bfloat16 if name == "bf16" else jnp.float32
         cand = FaceCascade(model, compute_dtype=dtype,
@@ -200,10 +214,31 @@ def main():
         if ok:
             cascade = cand
             chosen = name
+            gate_iou = float(iou)
             break
     if cascade is None:
         _log("no configuration met the accuracy budget")
         sys.exit(1)
+
+    # f32 control next to the bf16 gate: the bf16 margin is ~0.005 IoU
+    # above the 0.99 floor, so the artifact records what the SAME
+    # pipeline scores at f32 — a future gate dip is then attributable
+    # (bf16 numeric drift moves only the bf16 row; a pipeline
+    # regression moves both).  No timing, one batch-1 pass.
+    iou_f32 = None
+    if chosen == "bf16" and not args.no_f32_control:
+        try:
+            ctl = FaceCascade(model, compute_dtype=jnp.float32,
+                              input_layout=args.layout,
+                              warp_profile=args.warp_profile)
+            _, iou_f32, _ = _accuracy_ok(
+                jax.block_until_ready(ctl(batch[:1])))
+            iou_f32 = float(iou_f32)
+            _log(f"f32 control: iou={iou_f32:.4f} "
+                 f"(bf16 gate {gate_iou:.4f})")
+            del ctl
+        except Exception as e:                      # noqa: BLE001
+            _log(f"f32 control skipped: {e}")
 
     # tunnel RTT probe, recorded in the JSON: the dev-tunnel fetch
     # round-trip varies 2-45 ms between sessions (docs/PERF.md) and is
@@ -283,6 +318,34 @@ def main():
              f" at {fps:.0f} fps vs {peak / 1e12:.0f} TFLOP/s peak)")
     except Exception as e:                          # noqa: BLE001
         _log(f"mfu computation skipped: {e}")
+
+    # achieved HBM bandwidth against the modeled ideal-fusion traffic
+    # (tpu_face/compiler/traffic.py; table in tools/cascade_roofline.py
+    # + docs/PERF.md): for a workload whose stated ceiling is HBM
+    # traffic, bytes/s vs the 819 GB/s peak is the honest utilization
+    # metric next to MFU.  The model is a LOWER bound on real traffic,
+    # so the percentage is conservative.
+    hbm_gbps = None
+    try:
+        from tpu_face.compiler import Graph as _G
+        from tpu_face.compiler.traffic import cascade_bytes_per_frame
+        from tpu_face.models.face_detection import (_DATA_DIR,
+                                                    _MODEL_FILES)
+        if args.layout == "planar":
+            _, _, bh0, bw0 = batch.shape
+        else:
+            _, bh0, bw0, _ = batch.shape
+        bpf = cascade_bytes_per_frame(
+            (bw0, bh0), args.batch,
+            _G(_DATA_DIR / f"{_MODEL_FILES[model]}.npz"),
+            _G(_DATA_DIR / "face_landmark.npz"),
+            _G(_DATA_DIR / "iris_landmark.npz"))
+        hbm_gbps = fps * bpf / 1e9
+        _log(f"achieved HBM bandwidth (modeled {bpf / 1e6:.1f} "
+             f"MB/frame ideal-fusion traffic): {hbm_gbps:.0f} GB/s "
+             f"= {hbm_gbps / 819 * 100:.0f}% of v5e peak")
+    except Exception as e:                          # noqa: BLE001
+        _log(f"hbm model skipped: {e}")
 
     # batch-1 p50 latency (BASELINE.md deliverable): single frame,
     # host-to-host, steady state — through the dev tunnel this is
@@ -567,6 +630,158 @@ def main():
             multiface_error = str(e)
             _log(f"multiface measurement failed: {e}")
 
+    variant_fps = {}
+    variant_error = None
+    if not args.no_variants:
+        # Detector-variant throughput rows: 4 of 5 variants had parity
+        # tests but no recorded TPU fps before round 5 — a serving
+        # user choosing the cheap SHORT model (or the 192-sq FULL,
+        # whose shapes FULL_SPARSE shares) had no artifact row.  Same
+        # frames/layout/profile as the headline; each variant is gated
+        # on its own BASELINE.md man.jpg bbox before timing.
+        gts = {"short": (FaceDetectionModel.SHORT,
+                         (199.8, 74.6, 335.7, 210.6)),
+               "full": (FaceDetectionModel.FULL,
+                        (187.1, 60.7, 339.6, 213.2))}
+        for vname, (vmodel, vgt) in gts.items():
+            if vmodel == model:
+                continue                    # already the headline row
+            try:
+                vcas = FaceCascade(vmodel,
+                                   compute_dtype=(jnp.bfloat16
+                                                  if chosen == "bf16"
+                                                  else jnp.float32),
+                                   input_layout=args.layout,
+                                   warp_profile=args.warp_profile)
+                r = vcas(batch)
+                np.asarray(r.score.ravel()[0])
+                det0 = np.asarray(r.detection[0]) * np.array(
+                    [[540, 360]])
+                vb = (det0[0, 0], det0[0, 1], det0[1, 0], det0[1, 1])
+                ix0, iy0 = max(vb[0], vgt[0]), max(vb[1], vgt[1])
+                ix1, iy1 = min(vb[2], vgt[2]), min(vb[3], vgt[3])
+                inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+                area = lambda r_: ((r_[2] - r_[0])   # noqa: E731
+                                   * (r_[3] - r_[1]))
+                viou = inter / (area(vb) + area(vgt) - inter)
+                assert viou >= 0.99, \
+                    f"{vname}-variant gate IoU {viou:.4f}"
+                it = min(args.iters, 30)
+                wins = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(it):
+                        r = vcas(batch)
+                    np.asarray(r.score.ravel()[0])
+                    wins.append(args.batch * it
+                                / (time.perf_counter() - t0))
+                variant_fps[vname] = float(max(wins))
+                _log(f"{vname}-variant cascade: "
+                     f"{variant_fps[vname]:.1f} frames/s "
+                     f"(gate IoU {viou:.4f})")
+                del vcas
+            except Exception as e:                  # noqa: BLE001
+                variant_error = f"{vname}: {e}"
+                _log(f"{vname}-variant measurement failed: {e}")
+
+    hires = {}
+    hires_error = None
+    if not args.no_hires:
+        # 1080p / 4K cascade + tracked rows, re-measured at HEAD every
+        # round: before round 5 the README's hires numbers came from
+        # round-3 probe prose (tools/tpu_1080p_cascade.py,
+        # tpu_tracked_res_probe.py) and could rot silently.  Frame
+        # construction matches tpu_tracked_res_probe.py: man.jpg
+        # letterboxed onto a 16:9 canvas (face keeps its aspect at
+        # every size), planar ingestion — the layout the native
+        # decoder emits for free; the cascade rows roll/flip frames so
+        # every warp's band geometry differs.
+        try:
+            from PIL import Image
+
+            from tpu_face.tracking import FaceTracker
+
+            src = Image.open(
+                "/root/reference/test_data/man.jpg").convert("RGB")
+            hdtype = (jnp.bfloat16 if chosen == "bf16"
+                      else jnp.float32)
+            rng = np.random.default_rng(0)
+            # batches match the configurations docs/PERF.md's claims
+            # were measured at (1080p cascade b64 / tracked b32; 4K
+            # cascade b8 / tracked b32); iters sized for >=0.4 s
+            # windows per the measurement-discipline rules
+            tiers = (("1080p", 1080, 64, 25, 32, 50),
+                     ("4k", 2160, 8, 50, 32, 25))
+            for label, height, cb, cit, tb, tit in tiers:
+                width = height * 16 // 9
+                scale = min(width / src.width, height / src.height)
+                fw, fh = int(src.width * scale), int(src.height * scale)
+                face = np.asarray(src.resize((fw, fh), Image.BILINEAR),
+                                  np.uint8)
+                canvas = np.zeros((height, width, 3), np.uint8)
+                y0, x0 = (height - fh) // 2, (width - fw) // 2
+                canvas[y0:y0 + fh, x0:x0 + fw] = face
+                frames = [canvas]
+                while len(frames) < cb:
+                    f = np.roll(canvas,
+                                int(rng.integers(-width // 10,
+                                                 width // 10)), axis=1)
+                    if len(frames) % 3 == 1:
+                        f = f[:, ::-1]
+                    frames.append(np.ascontiguousarray(f))
+                hbatch = jnp.asarray(np.ascontiguousarray(
+                    np.stack(frames).transpose(0, 3, 1, 2)))
+
+                hc = FaceCascade(model, compute_dtype=hdtype,
+                                 input_layout="planar",
+                                 warp_profile=args.warp_profile)
+                r = hc(hbatch)
+                np.asarray(r.score.ravel()[0])
+                assert bool(np.asarray(r.mesh_valid[0])), \
+                    f"{label}: face lost in cascade"
+                wins = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(cit):
+                        r = hc(hbatch)
+                    np.asarray(r.score.ravel()[0])
+                    wins.append(cb * cit / (time.perf_counter() - t0))
+                hires[f"fps_{label}"] = float(max(wins))
+                hires[f"batch_{label}"] = cb
+                _log(f"{label} cascade (batch {cb}, planar): "
+                     f"{hires[f'fps_{label}']:.1f} frames/s")
+                del hc, r, hbatch
+
+                tr = FaceTracker(model, compute_dtype=hdtype,
+                                 input_layout="planar",
+                                 warp_profile=args.warp_profile)
+                ident = jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(canvas.transpose(2, 0, 1),
+                                    (tb, 3, height, width))))
+                rr = tr.step(ident)
+                np.asarray(rr.score.ravel()[0])
+                rr = tr.step(ident)          # tracked-path compile
+                np.asarray(rr.score.ravel()[0])
+                assert bool(np.asarray(tr.tracking).all()), \
+                    f"{label}: tracker failed to lock"
+                wins = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(tit):
+                        rr = tr.step(ident)
+                    np.asarray(rr.score.ravel()[0])
+                    wins.append(tb * tit / (time.perf_counter() - t0))
+                assert bool(np.asarray(tr.tracking).all()), \
+                    f"{label}: lost lock mid-loop"
+                hires[f"fps_{label}_tracked"] = float(max(wins))
+                hires[f"batch_{label}_tracked"] = tb
+                _log(f"{label} tracked (batch {tb}, planar): "
+                     f"{hires[f'fps_{label}_tracked']:.1f} frames/s")
+                del tr, rr, ident
+        except Exception as e:                      # noqa: BLE001
+            hires_error = str(e)
+            _log(f"hires measurement failed: {e}")
+
     from tpu_face import __version__
 
     baseline_fps = 53.8  # BASELINE.md reference cascade compute, x86 CPU
@@ -584,6 +799,23 @@ def main():
         "best_window_fps": round(float(max(window_fps)), 1),
         "rtt_ms": round(rtt * 1e3, 2),
     }
+    if gate_iou is not None:
+        record["gate_iou"] = round(gate_iou, 4)
+        record["gate_dtype"] = chosen
+    if chosen == "f32" and iou_f32 is None:
+        iou_f32 = gate_iou
+    if iou_f32 is not None:
+        record["iou_f32"] = round(iou_f32, 4)
+    if hbm_gbps is not None:
+        record["hbm_gbps"] = round(hbm_gbps, 1)
+    for vname, vfps in variant_fps.items():
+        record[f"fps_{vname}"] = round(vfps, 1)
+    if variant_error is not None:
+        record["variant_error"] = variant_error
+    for k, v in hires.items():
+        record[k] = round(v, 1) if isinstance(v, float) else v
+    if hires_error is not None:
+        record["hires_error"] = hires_error
     if p50_ms is not None:
         record["p50_batch1_ms"] = round(p50_ms, 2)
     if p50_device_ms is not None:

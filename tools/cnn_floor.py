@@ -15,41 +15,19 @@ import argparse
 import sys
 from pathlib import Path
 
-import numpy as np
-
 sys.path.insert(0, "/root/repo")
 
 from tpu_face.compiler.lowering import Graph, graph_flops  # noqa: E402
+from tpu_face.compiler.traffic import graph_traffic  # noqa: E402
 
 DATA = Path("/root/repo/tpu_face/data")
 HBM_GBS = 819.0
 
-# ops whose outputs a fusing compiler still has to materialize
-_MATERIALIZE = {"CONV_2D", "DEPTHWISE_CONV_2D", "MAX_POOL_2D",
-                "AVERAGE_POOL_2D", "RESIZE_BILINEAR", "DEPTH_TO_SPACE",
-                "CONCATENATION", "FULLY_CONNECTED", "MEAN",
-                "BATCH_MATMUL"}
-
 
 def traffic(graph, batch, act_bytes=2):
-    shapes = {i: t["shape"] for i, t in enumerate(graph.tensors)}
-
-    def nbytes(tid):
-        s = shapes[tid]
-        return int(np.prod([d if d > 0 else 1 for d in s])) * act_bytes
-
-    ideal = naive = 0
-    weight_bytes = 0
-    for node in graph.ops:
-        op, ins, outs = node["op"], node["inputs"], node["outputs"]
-        acts_in = sum(nbytes(i) for i in ins if i not in graph.consts)
-        w_in = sum(graph.consts[i].nbytes for i in ins
-                   if i in graph.consts)
-        out_b = sum(nbytes(o) for o in outs)
-        naive += acts_in + out_b
-        weight_bytes += w_in
-        if op in _MATERIALIZE:
-            ideal += acts_in + out_b
+    # single source of truth: tpu_face/compiler/traffic.py (the
+    # whole-cascade roofline shares this per-net model)
+    ideal, naive, weight_bytes = graph_traffic(graph, act_bytes)
     return ideal * batch + weight_bytes, naive * batch + weight_bytes
 
 
