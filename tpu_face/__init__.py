@@ -10,7 +10,7 @@ jitted XLA programs (weights extracted offline from the reference's
 from . import models, render
 from .types import BBox, Detection, ImageTensor, Landmark, Rect
 
-__version__ = "0.3.3"
+__version__ = "0.3.4"
 
 __all__ = ["BBox", "Detection", "ImageTensor", "Landmark", "Rect",
            "models", "render"]
