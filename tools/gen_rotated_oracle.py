@@ -67,21 +67,48 @@ def make_closeup(angle_deg: float = 30.0) -> np.ndarray:
                           borderMode=cv2.BORDER_CONSTANT)
 
 
+PORTRAIT_SRC = "/root/reference/test_data/russ_cox_2.jpg"
+
+
+def make_portrait(angle_deg: float) -> np.ndarray:
+    """Rotated PORTRAIT frame (200x225): russ_cox_2 is the geometry
+    whose int-truncated letterbox pads force the exact double-resize
+    detection path (image.letterbox_two_stage_params non-None), so
+    rotating it composes that arm with a large ROI rotation — an
+    intersection no other oracle frame reaches."""
+    bgr = cv2.imread(PORTRAIT_SRC)
+    h, w = bgr.shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle_deg, 1.0)
+    return cv2.warpAffine(bgr, m, (w, h), flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_CONSTANT)
+
+
 def main():
     outdir = Path(sys.argv[1] if len(sys.argv) > 1 else
                   Path(__file__).resolve().parents[1] / "assets/rotated")
     outdir.mkdir(parents=True, exist_ok=True)
-    for angle in ANGLES:
-        name = f"man_rot{angle:+d}.png".replace("+", "p").replace(
-            "-", "m")
-        path = outdir / name
-        cv2.imwrite(str(path), make_frame(angle))
-        print(f"\n######## frame rotation {angle:+d} deg -> {path}")
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    if only in (None, "man"):
+        for angle in ANGLES:
+            name = f"man_rot{angle:+d}.png".replace("+", "p").replace(
+                "-", "m")
+            path = outdir / name
+            cv2.imwrite(str(path), make_frame(angle))
+            print(f"\n######## frame rotation {angle:+d} deg -> {path}")
+            oracle.run_cascade(str(path))
+        path = outdir / "man_closeup_rotp30.png"
+        cv2.imwrite(str(path), make_closeup(30.0))
+        print(f"\n######## close-up +30 deg -> {path}")
         oracle.run_cascade(str(path))
-    path = outdir / "man_closeup_rotp30.png"
-    cv2.imwrite(str(path), make_closeup(30.0))
-    print(f"\n######## close-up +30 deg -> {path}")
-    oracle.run_cascade(str(path))
+    if only in (None, "portrait"):
+        for angle in (20, -20):
+            name = f"russ2_rot{angle:+d}.png".replace(
+                "+", "p").replace("-", "m")
+            path = outdir / name
+            cv2.imwrite(str(path), make_portrait(angle))
+            print(f"\n######## portrait rotation {angle:+d} deg -> "
+                  f"{path}")
+            oracle.run_cascade(str(path))
 
 
 if __name__ == "__main__":
