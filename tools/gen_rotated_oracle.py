@@ -17,6 +17,9 @@ on each to produce the BASELINE.md ground-truth rows asserted by
 tests/test_rotation_e2e.py.
 
 Usage: python tools/gen_rotated_oracle.py [outdir=assets/rotated]
+                                          [man|portrait]
+(the optional second arg regenerates only one frame family — "man"
+for the 540p/close-up set, "portrait" for the rotated russ_cox_2.)
 """
 
 import sys
